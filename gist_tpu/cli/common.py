@@ -1,0 +1,27 @@
+"""Shared CLI plumbing."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--dataset", type=str, default="synth-cora")
+    p.add_argument("--data-root", type=str, default="./data")
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--n-epochs", type=int, default=200)
+    p.add_argument("--n-hidden", type=int, default=16)
+    p.add_argument("--n-layers", type=int, default=1)
+    p.add_argument("--weight-decay", type=float, default=5e-4)
+    p.add_argument("--rnd-seed", type=int, default=3)
+    p.add_argument("--use-layernorm", type=str, default="True",
+                   choices=["True", "False"])
+    p.add_argument("--result-json", type=str, default=None,
+                   help="write the result dict to this path as JSON")
+
+
+def str2bool(v: str) -> bool:
+    # the reference passes booleans as 'True'/'False' strings
+    # (train_ist.py:42-59); accept those plus argparse-native spellings
+    return str(v).lower() in ("true", "1", "yes")

@@ -1,0 +1,257 @@
+"""Static-shape graph container for TPU execution.
+
+The reference carries graphs as DGL objects with native CSR kernels
+behind them (e.g. ``update_all(fn.copy_src, fn.sum)`` in
+cluster_gcn/modules.py:136-137).  On TPU everything under ``jit`` must
+have static shapes, so a graph here is a plain pytree of padded arrays:
+
+* ``senders[e]`` / ``receivers[e]`` — COO edge list sorted by receiver
+  (destination).  Padding edges carry ``receivers == n_nodes`` so that
+  ``jax.ops.segment_sum(..., num_segments=n_nodes)`` drops them for free.
+* ``indptr`` — CSR row pointers over receivers, used by the Pallas SpMM
+  kernel path.
+
+``n_nodes`` is static (inferred from array shapes); the *actual* edge
+count ``n_edges`` is static aux data so jit caches per padded bucket,
+not per graph instance.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@struct.dataclass
+class TiledCSR:
+    """Tile-aligned CSR layout for the Pallas SpMM kernel.
+
+    Mosaic requires 1-D i32 DMA slices to be 1024-element aligned (both
+    offset and size), so every destination tile's edge segment is padded
+    host-side to a multiple of ``chunk`` (= 1024).  Padding edges carry
+    ``receivers == num_tiles * tile_rows`` (outside every tile's local
+    row range, so the kernel's one-hot matrix zeroes them without
+    masking).
+    """
+
+    senders: jnp.ndarray       # (E_t,) int32
+    receivers: jnp.ndarray     # (E_t,) int32
+    tile_offsets: jnp.ndarray  # (num_tiles + 1,) int32, multiples of chunk
+    tile_rows: int = struct.field(pytree_node=False)   # TN
+    chunk: int = struct.field(pytree_node=False)       # C (1024)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tile_offsets.shape[0] - 1
+
+
+def _build_tiled_csr(senders_sorted: np.ndarray, receivers_sorted: np.ndarray,
+                     indptr: np.ndarray, n_nodes: int,
+                     tile_rows: int = 128, chunk: int = 1024) -> TiledCSR:
+    """Host-side: re-lay receiver-sorted edges so each dst tile's segment
+    starts at a chunk-aligned offset."""
+    num_tiles = -(-n_nodes // tile_rows)
+    bounds = np.minimum(np.arange(num_tiles + 1) * tile_rows, n_nodes)
+    seg_starts = indptr[bounds[:-1]]
+    seg_ends = indptr[bounds[1:]]
+    seg_counts = seg_ends - seg_starts
+    padded = np.maximum(_round_up_arr(seg_counts, chunk), 0)
+    offsets = np.zeros(num_tiles + 1, dtype=np.int64)
+    np.cumsum(padded, out=offsets[1:])
+    total = int(offsets[-1])
+
+    sentinel = num_tiles * tile_rows
+    s_out = np.zeros(total, dtype=np.int32)
+    r_out = np.full(total, sentinel, dtype=np.int32)
+    # vectorized segment copy: destination index for each real edge
+    if len(senders_sorted):
+        tile_of_edge = np.repeat(np.arange(num_tiles), seg_counts)
+        within = np.arange(len(senders_sorted)) - seg_starts[tile_of_edge]
+        dst = offsets[:-1][tile_of_edge] + within
+        s_out[dst] = senders_sorted
+        r_out[dst] = receivers_sorted
+    return TiledCSR(
+        senders=jnp.asarray(s_out), receivers=jnp.asarray(r_out),
+        tile_offsets=jnp.asarray(offsets, dtype=jnp.int32),
+        tile_rows=tile_rows, chunk=chunk)
+
+
+def _round_up_arr(x: np.ndarray, m: int) -> np.ndarray:
+    return ((x + m - 1) // m) * m
+
+
+@struct.dataclass
+class Graph:
+    """Padded COO+CSR graph.  All arrays int32; topology only (node/edge
+    features travel separately, keeping this pytree cheap to donate).
+
+    Aggregation semantics match DGL's ``update_all(copy_src, sum)``:
+    output row *i* sums over the senders of edges whose receiver is *i*
+    (reference: cluster_gcn/modules.py:224-225).
+    """
+
+    senders: jnp.ndarray     # (E_pad,) source node of each edge
+    receivers: jnp.ndarray   # (E_pad,) dest node; padding entries == n_nodes
+    indptr: jnp.ndarray      # (N+1,) CSR offsets into the receiver-sorted edges
+    in_degrees: jnp.ndarray  # (N,) float32 — true in-degree per node
+    out_degrees: jnp.ndarray  # (N,) float32 — true out-degree per node
+    # Transpose (sender-sorted) view for the backward pass dx = A^T dy:
+    # edge (s, r) re-listed as (r -> s), sorted by s.  Padding senders_t
+    # entries == n_nodes.
+    t_senders: jnp.ndarray    # (E_pad,) = receivers re-sorted
+    t_receivers: jnp.ndarray  # (E_pad,) = senders re-sorted (the segment key)
+    t_indptr: jnp.ndarray     # (N+1,) CSR offsets over t_receivers
+    n_nodes: int = struct.field(pytree_node=False)
+    n_edges: int = struct.field(pytree_node=False)
+    # Optional tile-aligned layouts for the Pallas SpMM kernel (forward
+    # and transpose/backward); built by with_tiles().
+    tiled: Optional["TiledCSR"] = None
+    tiled_t: Optional["TiledCSR"] = None
+
+    def transpose(self) -> "Graph":
+        """Graph of A^T (senders/receivers swapped), sharing buffers."""
+        return Graph(
+            senders=self.t_senders, receivers=self.t_receivers,
+            indptr=self.t_indptr, in_degrees=self.out_degrees,
+            out_degrees=self.in_degrees, t_senders=self.senders,
+            t_receivers=self.receivers, t_indptr=self.indptr,
+            n_nodes=self.n_nodes, n_edges=self.n_edges,
+            tiled=self.tiled_t, tiled_t=self.tiled)
+
+    @property
+    def n_edges_padded(self) -> int:
+        return self.senders.shape[0]
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (f"Graph(n_nodes={self.n_nodes}, n_edges={self.n_edges}, "
+                f"padded={self.n_edges_padded})")
+
+
+def graph_from_edges(
+    senders,
+    receivers,
+    n_nodes: int,
+    *,
+    edge_pad_multiple: int = 8,
+    pad_to: Optional[int] = None,
+    tiles: bool = False,
+    tile_rows: int = 128,
+) -> Graph:
+    """Build a receiver-sorted padded Graph from a raw COO edge list.
+
+    Host-side (numpy) preprocessing — runs once per graph / cluster
+    bucket, off the jit path.
+    """
+    senders = np.asarray(senders, dtype=np.int64)
+    receivers = np.asarray(receivers, dtype=np.int64)
+    assert senders.shape == receivers.shape and senders.ndim == 1
+    n_edges = int(senders.shape[0])
+
+    order = np.argsort(receivers, kind="stable")
+    senders = senders[order]
+    receivers = receivers[order]
+
+    e_pad = pad_to if pad_to is not None else _round_up(max(n_edges, 1), edge_pad_multiple)
+    if e_pad < n_edges:
+        raise ValueError(f"pad_to={e_pad} < n_edges={n_edges}")
+    pad = e_pad - n_edges
+    # Padding senders point at node 0 (any valid id); padding receivers
+    # point at n_nodes so segment_sum drops them.
+    senders_p = np.concatenate([senders, np.zeros(pad, dtype=np.int64)])
+    receivers_p = np.concatenate([receivers, np.full(pad, n_nodes, dtype=np.int64)])
+
+    counts = np.bincount(receivers, minlength=n_nodes)[:n_nodes]
+    out_counts = np.bincount(senders, minlength=n_nodes)[:n_nodes]
+    indptr = np.zeros(n_nodes + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+
+    # transpose view: edges (r -> s) sorted by s
+    t_order = np.argsort(senders, kind="stable")
+    t_receivers = senders[t_order]      # segment key of the transpose
+    t_senders = receivers[t_order]
+    t_senders_p = np.concatenate([t_senders, np.zeros(pad, dtype=np.int64)])
+    t_receivers_p = np.concatenate(
+        [t_receivers, np.full(pad, n_nodes, dtype=np.int64)])
+    t_indptr = np.zeros(n_nodes + 1, dtype=np.int64)
+    np.cumsum(out_counts, out=t_indptr[1:])
+
+    tiled = tiled_t = None
+    if tiles:
+        tiled = _build_tiled_csr(
+            senders.astype(np.int32), receivers.astype(np.int32), indptr,
+            n_nodes, tile_rows=tile_rows)
+        tiled_t = _build_tiled_csr(
+            t_senders.astype(np.int32), t_receivers.astype(np.int32),
+            t_indptr, n_nodes, tile_rows=tile_rows)
+
+    return Graph(
+        senders=jnp.asarray(senders_p, dtype=jnp.int32),
+        receivers=jnp.asarray(receivers_p, dtype=jnp.int32),
+        indptr=jnp.asarray(indptr, dtype=jnp.int32),
+        in_degrees=jnp.asarray(counts, dtype=jnp.float32),
+        out_degrees=jnp.asarray(out_counts, dtype=jnp.float32),
+        t_senders=jnp.asarray(t_senders_p, dtype=jnp.int32),
+        t_receivers=jnp.asarray(t_receivers_p, dtype=jnp.int32),
+        t_indptr=jnp.asarray(t_indptr, dtype=jnp.int32),
+        n_nodes=int(n_nodes),
+        n_edges=n_edges,
+        tiled=tiled,
+        tiled_t=tiled_t,
+    )
+
+
+def add_self_loops(senders, receivers, n_nodes: int, *, dedup: bool = True):
+    """Remove existing self loops and append one per node — the
+    preprocessing gcn/train.py:66-68 applies before building its graph."""
+    senders = np.asarray(senders, dtype=np.int64)
+    receivers = np.asarray(receivers, dtype=np.int64)
+    if dedup:
+        keep = senders != receivers
+        senders, receivers = senders[keep], receivers[keep]
+    loop = np.arange(n_nodes, dtype=np.int64)
+    return np.concatenate([senders, loop]), np.concatenate([receivers, loop])
+
+
+def subgraph(senders, receivers, node_ids, n_nodes: int):
+    """Node-induced subgraph with relabeled ids — the analog of
+    ``g.subgraph(nids)`` used by the cluster sampler
+    (cluster_gcn/partition_utils.py:20-25).  Host-side numpy.
+
+    Returns (sub_senders, sub_receivers, node_ids) where edges are those
+    with both endpoints in ``node_ids``, relabeled to [0, len(node_ids)).
+    """
+    node_ids = np.asarray(node_ids, dtype=np.int64)
+    mapping = np.full(n_nodes, -1, dtype=np.int64)
+    mapping[node_ids] = np.arange(len(node_ids), dtype=np.int64)
+    s = mapping[np.asarray(senders, dtype=np.int64)]
+    r = mapping[np.asarray(receivers, dtype=np.int64)]
+    keep = (s >= 0) & (r >= 0)
+    return s[keep], r[keep], node_ids
+
+
+# ---------------------------------------------------------------------------
+# Normalization factors
+# ---------------------------------------------------------------------------
+
+def sym_norm(graph: Graph) -> jnp.ndarray:
+    """Symmetric GCN norm ``deg^{-1/2}`` with inf→0, matching
+    gcn/train.py:74-78 (used by the GraphConv path)."""
+    deg = graph.in_degrees
+    norm = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1.0)), 0.0)
+    return norm
+
+
+def inv_degree_norm(graph: Graph) -> jnp.ndarray:
+    """Mean-aggregation norm ``1/deg`` with inf→0, matching
+    cluster_gcn/modules.py:155-159 / 239-243 (GraphSAGE path)."""
+    deg = graph.in_degrees
+    return jnp.where(deg > 0, 1.0 / jnp.maximum(deg, 1.0), 0.0)

@@ -1,0 +1,109 @@
+"""Multi-head GAT (gcn/gat.py:24-98) with IST-capable width arithmetic.
+
+Heads are a leading axis of stacked parameters rather than separate
+modules — one batched matmul across heads instead of a Python loop
+(gat.py:74-75), which keeps the MXU fed and makes per-head IST slicing a
+plain indexed slice.
+
+The reference's ``MultiHeadGATLayer.forward`` reduces head outputs with
+``torch.mean(torch.stack(head_outs))`` — a scalar! (SURVEY §2.4).  The
+intended semantics, mean over the head axis, is implemented here.  The
+comment at gat.py:87-89 mentions concatenation, but the code never
+concatenates; we follow mean-over-heads so hidden widths match the
+reference's layer shapes (hidden_dim, not hidden_dim*num_heads).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gist_tpu.graph import Graph
+from gist_tpu.models.common import xavier_normal_gain
+from gist_tpu.ops.segment import (sddmm_concat, segment_softmax,
+                                  segment_weighted_sum)
+
+
+@dataclass(frozen=True)
+class GATConfig:
+    in_feats: int
+    n_hidden: int
+    n_classes: int
+    n_layers: int = 2          # TOTAL layers, matching GAT(num_layers=..) (gat.py:79)
+    n_heads: int = 2
+    num_subnet: int = 1        # hidden dims divided for IST sub-models
+
+    def layer_shapes(self):
+        """[(in, out, heads)] per layer: first in->hidden (H heads),
+        middles hidden->hidden (H heads), last hidden->classes (1 head)
+        (gat.py:80-91)."""
+        hid = self.n_hidden // self.num_subnet
+        shapes = [(self.in_feats, hid, self.n_heads)]
+        for _ in range(self.n_layers - 2):
+            shapes.append((hid, hid, self.n_heads))
+        shapes.append((hid, self.n_classes, 1))
+        return shapes
+
+    def sub_config(self, num_subnet: int) -> "GATConfig":
+        return replace(self, num_subnet=num_subnet)
+
+
+def init(key: jax.Array, cfg: GATConfig) -> dict:
+    """Params per layer: ``w`` (heads, in, out), ``attn`` (heads, 2*out).
+    xavier_normal with gain sqrt(2) (gat.py:33-37)."""
+    gain = float(np.sqrt(2.0))
+    layers = []
+    for (d_in, d_out, heads) in cfg.layer_shapes():
+        key, wk, ak = jax.random.split(key, 3)
+        w = jnp.stack([
+            xavier_normal_gain(k, (d_in, d_out), gain)
+            for k in jax.random.split(wk, heads)
+        ])
+        attn = jnp.stack([
+            xavier_normal_gain(k, (2 * d_out,), gain)
+            for k in jax.random.split(ak, heads)
+        ])
+        layers.append({"w": w, "attn": attn})
+    return {"layers": layers}
+
+
+def _multi_head_layer(graph: Graph, h: jnp.ndarray, layer: dict,
+                      negative_slope: float) -> jnp.ndarray:
+    """All heads at once: z (N, heads, out) via one einsum; SDDMM /
+    softmax / weighted-sum batched over the head axis; mean over heads."""
+    w, attn = layer["w"], layer["attn"]
+    heads, d_in, d_out = w.shape
+    z = jnp.einsum("nf,hfo->nho", h, w)              # (N, H, O)
+    # per-head scores: (E, H)
+    src = jnp.einsum("nho,ho->nh", z, attn[:, :d_out])
+    dst = jnp.einsum("nho,ho->nh", z, attn[:, d_out:])
+    scores = jnp.take(src, graph.senders, axis=0) + jnp.take(
+        dst, graph.receivers, axis=0)
+    scores = jax.nn.leaky_relu(scores, negative_slope)
+    alpha = segment_softmax(graph, scores)            # (E, H)
+    out = segment_weighted_sum(graph, z, alpha)       # (N, H, O)
+    return jnp.mean(out, axis=1)                      # mean over heads
+
+
+def apply(
+    params: dict,
+    graph: Graph,
+    x: jnp.ndarray,
+    cfg: GATConfig,
+    *,
+    train: bool = False,
+    dropout_key: Optional[jax.Array] = None,
+    negative_slope: float = 0.01,
+    backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """GAT forward (gat.py:93-98): ELU after every layer, including the
+    last (the reference applies F.elu unconditionally)."""
+    h = x
+    for layer in params["layers"]:
+        h = _multi_head_layer(graph, h, layer, negative_slope)
+        h = jax.nn.elu(h)
+    return h

@@ -1,0 +1,161 @@
+"""GraphSAGE-style stacks — the workhorse of the cluster-GCN pipeline.
+
+Two stacks mirroring cluster_gcn/modules.py:
+
+* :func:`init`/:func:`apply` — the IST-capable "GCN" model
+  (modules.py:245-314): ISTSAGELayer stack (affine-free LayerNorm,
+  dropout between concat and linear), LayerNorm+ReLU on all layers
+  except the output layer.  This is what both the Cluster-GCN baseline
+  (cluster_gcn.py:67-69) and the distributed GIST engine
+  (cluster_gcn_ist_distrib.py:81-90) train.
+* :func:`init_graphsage`/:func:`apply_graphsage` — the plain GraphSAGE
+  model with affine LayerNorm and ``use_pp`` first-layer skip
+  (modules.py:100-189).
+
+SAGE layers take the concatenated ``[h || Ah]`` input, so each weight is
+``(2*in, out)`` in our (in, out) layout.  The IST slicing rules over the
+doubled input dim live in gist_tpu/ist/slicing.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gist_tpu.graph import Graph
+from gist_tpu.models.common import ist_layer_dims, torch_linear_uniform
+from gist_tpu.models.layers import sage_layer
+
+
+@dataclass(frozen=True)
+class SAGEConfig:
+    in_feats: int
+    n_hidden: int
+    n_classes: int
+    n_layers: int = 1          # hidden layers; stack = n_layers + 1
+    dropout: float = 0.2
+    use_layernorm: bool = True
+    split_input: bool = False
+    split_output: bool = False
+    num_subnet: int = 1
+    use_pp: bool = False       # first-layer aggregation precomputed
+
+    def layer_dims(self):
+        return ist_layer_dims(
+            self.in_feats, self.n_hidden, self.n_classes, self.n_layers,
+            split_input=self.split_input, split_output=self.split_output,
+            num_subnet=self.num_subnet)
+
+    def sub_config(self, *, split_input: bool, split_output: bool,
+                   num_subnet: int) -> "SAGEConfig":
+        return replace(self, split_input=split_input,
+                       split_output=split_output, num_subnet=num_subnet)
+
+
+def _init_layer(key, d_in: int, d_out: int, affine_ln: bool) -> dict:
+    """ISTSAGELayer init: w and b ~ U(-s, s), s = 1/sqrt(2*in)
+    (modules.py:213-216; fan_in is the doubled input width)."""
+    wk, bk = jax.random.split(key)
+    p = {
+        "w": torch_linear_uniform(wk, (2 * d_in, d_out), fan_in=2 * d_in),
+        "b": torch_linear_uniform(bk, (d_out,), fan_in=2 * d_in),
+    }
+    if affine_ln:
+        p["ln_scale"] = jnp.ones((d_out,), jnp.float32)
+        p["ln_bias"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def init(key: jax.Array, cfg: SAGEConfig) -> dict:
+    layers = []
+    for (d_in, d_out) in cfg.layer_dims():
+        key, lk = jax.random.split(key)
+        layers.append(_init_layer(lk, d_in, d_out, affine_ln=False))
+    return {"layers": layers}
+
+
+def apply(
+    params: dict,
+    graph: Graph,
+    x: jnp.ndarray,
+    cfg: SAGEConfig,
+    *,
+    train: bool = False,
+    dropout_key: Optional[jax.Array] = None,
+    backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """ISTSAGELayer-stack forward (modules.py:310-314): every layer
+    aggregates; LayerNorm (affine-free) + ReLU on all but the last."""
+    layers = params["layers"]
+    n = len(layers)
+    h = x
+    for i, layer in enumerate(layers):
+        dk = None
+        if train and cfg.dropout > 0:
+            dropout_key, dk = jax.random.split(dropout_key)
+        is_last = i == n - 1
+        skip_agg = (i == 0 and cfg.use_pp and train)
+        h = sage_layer(
+            graph, h, layer,
+            dropout_rate=cfg.dropout if train else 0.0,
+            dropout_key=dk,
+            use_layer_norm=cfg.use_layernorm and not is_last,
+            affine_ln=False,
+            activation=None if is_last else jax.nn.relu,
+            aggregate_first=not skip_agg,
+            backend=backend,
+        )
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Plain GraphSAGE (affine LN) — modules.py:100-189
+# ---------------------------------------------------------------------------
+
+def init_graphsage(key: jax.Array, cfg: SAGEConfig) -> dict:
+    dims = [(cfg.in_feats, cfg.n_hidden)]
+    dims += [(cfg.n_hidden, cfg.n_hidden)] * (cfg.n_layers - 1)
+    dims += [(cfg.n_hidden, cfg.n_classes)]
+    layers = []
+    for i, (d_in, d_out) in enumerate(dims):
+        key, lk = jax.random.split(key)
+        affine = i < len(dims) - 1   # output layer has use_lynorm=False
+        layers.append(_init_layer(lk, d_in, d_out, affine_ln=affine))
+    return {"layers": layers}
+
+
+def apply_graphsage(
+    params: dict,
+    graph: Graph,
+    x: jnp.ndarray,
+    cfg: SAGEConfig,
+    *,
+    train: bool = False,
+    dropout_key: Optional[jax.Array] = None,
+    backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """GraphSAGE forward (modules.py:185-189).  With ``use_pp`` the first
+    layer skips aggregation during training only (modules.py:133)."""
+    layers = params["layers"]
+    n = len(layers)
+    h = x
+    for i, layer in enumerate(layers):
+        dk = None
+        if train and cfg.dropout > 0:
+            dropout_key, dk = jax.random.split(dropout_key)
+        is_last = i == n - 1
+        skip_agg = (i == 0 and cfg.use_pp and train)
+        h = sage_layer(
+            graph, h, layer,
+            dropout_rate=cfg.dropout if train else 0.0,
+            dropout_key=dk,
+            use_layer_norm=not is_last,
+            affine_ln=not is_last,
+            activation=None if is_last else jax.nn.relu,
+            aggregate_first=not skip_agg,
+            backend=backend,
+        )
+    return h

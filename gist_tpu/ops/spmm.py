@@ -1,0 +1,80 @@
+"""Sparse neighborhood aggregation (SpMM): ``out[i] = sum_{(s,i) in E} x[s]``.
+
+This is the hot op of every model in the framework — the TPU-native
+replacement for DGL's native C++/CUDA SpMM behind
+``update_all(fn.copy_src, fn.sum)`` (reference:
+cluster_gcn/modules.py:136-137, 224-225; SURVEY.md §2.3).
+
+Two backends:
+
+* ``segment`` — pure XLA: gather source rows, ``segment_sum`` over
+  receivers.  Differentiable out of the box (the VJP is the transpose
+  gather/scatter, which XLA emits itself).  Correctness reference.
+* ``pallas`` — CSR dest-tiled Pallas kernel (gist_tpu/ops/pallas_spmm.py)
+  that streams edges through VMEM and turns the scatter-accumulate into
+  MXU one-hot matmuls.  Used when shapes allow; falls back to ``segment``
+  otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gist_tpu.graph import Graph
+
+_DEFAULT_BACKEND = "segment"
+
+
+def set_default_backend(name: str) -> None:
+    global _DEFAULT_BACKEND
+    assert name in ("segment", "pallas"), name
+    _DEFAULT_BACKEND = name
+
+
+def spmm_segment(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
+    """XLA gather + segment-sum aggregation.
+
+    Padding edges have ``receivers == n_nodes`` which ``segment_sum``
+    drops (out-of-range segment ids contribute nothing), so no masking
+    is needed.
+    """
+    msgs = jnp.take(x, graph.senders, axis=0)
+    return jax.ops.segment_sum(
+        msgs,
+        graph.receivers,
+        num_segments=graph.n_nodes,
+        indices_are_sorted=True,
+    )
+
+
+def spmm_pallas(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
+    from gist_tpu.ops.pallas_spmm import spmm_pallas_csr
+
+    return spmm_pallas_csr(graph, x)
+
+
+def aggregate(
+    graph: Graph,
+    x: jnp.ndarray,
+    *,
+    norm: Optional[jnp.ndarray] = None,
+    backend: Optional[str] = None,
+) -> jnp.ndarray:
+    """Aggregate neighbor features, optionally scaling rows by ``norm``
+    afterwards (the ``ah * norm`` step of cluster_gcn/modules.py:226)."""
+    backend = backend or _DEFAULT_BACKEND
+    if backend == "pallas":
+        try:
+            out = spmm_pallas(graph, x)
+        except NotImplementedError:
+            out = spmm_segment(graph, x)
+    else:
+        out = spmm_segment(graph, x)
+    if norm is not None:
+        if norm.ndim == 1:
+            norm = norm[:, None]
+        out = out * norm
+    return out

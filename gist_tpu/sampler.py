@@ -1,0 +1,142 @@
+"""Cluster-GCN mini-batch sampler — the ClusterIter analog
+(reference: cluster_gcn/sampler.py:11-93), with TPU static-shape
+bucketing.
+
+Differences from the reference, all deliberate:
+
+* Induced cluster subgraphs vary in node/edge count every batch; jit
+  would recompile per shape.  Batches are therefore padded to geometric
+  size buckets (growth factor ~1.2 → at most ~log_{1.2} distinct
+  compiled shapes, ~10% average padding overhead, excluded from
+  edges/sec accounting by callers via ``ClusterBatch.n_real_edges``).
+* The METIS partition cache race (every rank writing the same .npy,
+  sampler.py:44-51) is fixed with an atomic rename in
+  gist_tpu.partition.get_partition_list.
+* ``use_pp`` first-layer precomputation (sampler.py:58-69) stores
+  ``[X || (A X) * deg^{-1}]`` — and the model must then *skip* first
+  layer aggregation during training; our SAGE stack honors that
+  (fixing the latent double-aggregation defect, SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from gist_tpu.data.container import Dataset
+from gist_tpu.graph import Graph, graph_from_edges, subgraph
+from gist_tpu.partition import get_partition_list
+
+
+def bucket_size(n: int, growth: float = 1.2, min_size: int = 256) -> int:
+    """Smallest bucket >= n from the geometric series min_size*growth^k."""
+    if n <= min_size:
+        return min_size
+    k = math.ceil(math.log(n / min_size) / math.log(growth))
+    return int(math.ceil(min_size * growth ** k))
+
+
+@struct.dataclass
+class ClusterBatch:
+    """A padded training batch: induced subgraph + node data."""
+    graph: Graph
+    features: jnp.ndarray    # (N_pad, F)
+    labels: jnp.ndarray      # (N_pad,)
+    train_mask: jnp.ndarray  # (N_pad,) — False on padding nodes
+    n_real_nodes: int = struct.field(pytree_node=False)
+    n_real_edges: int = struct.field(pytree_node=False)
+
+
+class ClusterSampler:
+    """Iterates ``psize // batch_size`` padded cluster batches per epoch,
+    reshuffling cluster order between epochs (sampler.py:55, 92-93)."""
+
+    def __init__(
+        self,
+        ds: Dataset,
+        psize: int,
+        batch_size: int,
+        *,
+        use_pp: bool = False,
+        cache_dir: Optional[str] = None,
+        seed: int = 0,
+        bucket_growth: float = 1.2,
+    ):
+        self.psize = psize
+        self.batch_size = batch_size
+        self.use_pp = use_pp
+        self.rng = np.random.default_rng(seed)
+        self.bucket_growth = bucket_growth
+
+        # restrict to the train-node-induced subgraph (sampler.py:34)
+        train_nid = np.nonzero(ds.train_mask)[0]
+        s, r, _ = subgraph(ds.senders, ds.receivers, train_nid, ds.n_nodes)
+        self.senders, self.receivers = s, r
+        self.n_nodes = len(train_nid)
+        self.features = ds.features[train_nid]
+        self.labels = ds.labels[train_nid]
+        self.train_mask = ds.train_mask[train_nid]  # all True by construction
+
+        if use_pp:
+            self.features = self._precalc(self.features)
+
+        self.partitions: List[np.ndarray] = get_partition_list(
+            self.senders, self.receivers, self.n_nodes, psize,
+            cache_dir=cache_dir, name=ds.name, seed=seed)
+        self._order = np.arange(len(self.partitions))
+        self.rng.shuffle(self._order)
+
+    def _precalc(self, feats: np.ndarray) -> np.ndarray:
+        """[X || (A X) * 1/deg] on the train subgraph (sampler.py:58-69)."""
+        agg = np.zeros_like(feats, dtype=np.float64)
+        np.add.at(agg, self.receivers, feats[self.senders].astype(np.float64))
+        deg = np.bincount(self.receivers, minlength=self.n_nodes
+                          ).astype(np.float64)
+        inv = np.where(deg > 0, 1.0 / np.maximum(deg, 1), 0.0)
+        return np.concatenate(
+            [feats, (agg * inv[:, None]).astype(np.float32)], axis=1)
+
+    def __len__(self) -> int:
+        return self.psize // self.batch_size
+
+    def __iter__(self) -> Iterator[ClusterBatch]:
+        for i in range(len(self)):
+            ids = self._order[i * self.batch_size:(i + 1) * self.batch_size]
+            node_ids = np.concatenate([self.partitions[j] for j in ids])
+            yield self.make_batch(node_ids)
+        self.rng.shuffle(self._order)
+
+    def make_batch(self, node_ids: np.ndarray,
+                   node_pad: Optional[int] = None,
+                   edge_pad: Optional[int] = None) -> ClusterBatch:
+        node_ids = np.asarray(node_ids, dtype=np.int64)
+        try:
+            from gist_tpu.partition.native import native_subgraph
+            s, r = native_subgraph(self.senders, self.receivers, node_ids,
+                                   self.n_nodes)
+        except (ImportError, OSError):
+            s, r, _ = subgraph(self.senders, self.receivers, node_ids,
+                               self.n_nodes)
+        n = len(node_ids)
+        n_pad = node_pad or bucket_size(n, self.bucket_growth)
+        e_pad = edge_pad or bucket_size(max(len(s), 1), self.bucket_growth)
+        g = graph_from_edges(s, r, n_pad, pad_to=e_pad)
+
+        feats = np.zeros((n_pad, self.features.shape[1]), np.float32)
+        feats[:n] = self.features[node_ids]
+        labels = np.zeros((n_pad,), np.int32)
+        labels[:n] = self.labels[node_ids]
+        mask = np.zeros((n_pad,), bool)
+        mask[:n] = self.train_mask[node_ids]
+        return ClusterBatch(
+            graph=g,
+            features=jnp.asarray(feats),
+            labels=jnp.asarray(labels),
+            train_mask=jnp.asarray(mask),
+            n_real_nodes=n,
+            n_real_edges=len(s),
+        )

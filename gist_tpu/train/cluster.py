@@ -1,0 +1,120 @@
+"""Cluster-GCN training on one chip — cluster_gcn/cluster_gcn.py parity.
+
+Per-cluster jitted train steps (compiled once per padding bucket), full
+graph eval each epoch, wall clock excluding eval (cluster_gcn.py:91-111).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gist_tpu.data.container import Dataset
+from gist_tpu.graph import graph_from_edges
+from gist_tpu.models import sage
+from gist_tpu.models.common import masked_accuracy, masked_cross_entropy, micro_f1
+from gist_tpu.sampler import ClusterBatch, ClusterSampler
+from gist_tpu.train.common import TrainConfig, make_optimizer
+
+
+def train_cluster_gcn(
+    ds: Dataset,
+    model_cfg: sage.SAGEConfig,
+    tc: TrainConfig,
+    *,
+    psize: int = 1500,
+    batch_size: int = 20,
+    use_pp: bool = False,
+    use_f1: bool = False,
+    normalize: bool = False,
+    cache_dir: Optional[str] = None,
+    model=sage,
+    eval_every: int = 1,
+    verbose: bool = True,
+) -> dict:
+    if normalize:
+        ds.normalize_features()
+    sampler = ClusterSampler(ds, psize, batch_size, use_pp=use_pp,
+                             cache_dir=cache_dir, seed=tc.seed)
+    full_graph = graph_from_edges(ds.senders, ds.receivers, ds.n_nodes)
+    fx = jnp.asarray(ds.features)
+    flabels = jnp.asarray(ds.labels)
+    val_mask = jnp.asarray(ds.val_mask)
+    test_mask = jnp.asarray(ds.test_mask)
+
+    params = model.init(jax.random.PRNGKey(tc.seed), model_cfg)
+    opt = make_optimizer(tc.lr, tc.weight_decay)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, batch: ClusterBatch, key):
+        def loss_fn(p):
+            logits = model.apply(p, batch.graph, batch.features, model_cfg,
+                                 train=True, dropout_key=key)
+            return masked_cross_entropy(logits, batch.labels,
+                                        batch.train_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def infer_full(params):
+        # eval never uses the use_pp skip (modules.py:133 train-only)
+        return model.apply(params, full_graph, fx, model_cfg)
+
+    def evaluate(params):
+        logits = infer_full(params)
+        if use_f1:
+            l = np.asarray(logits)
+            return (micro_f1(l, ds.labels, ds.val_mask),
+                    micro_f1(l, ds.labels, ds.test_mask))
+        return (float(masked_accuracy(logits, flabels, val_mask)),
+                float(masked_accuracy(logits, flabels, test_mask)))
+
+    key = jax.random.PRNGKey(tc.dropout_seed)
+    total_time = 0.0
+    total_edges = 0
+    val_accs, test_accs, losses = [], [], []
+    for epoch in range(tc.n_epochs):
+        t0 = time.time()
+        epoch_loss = 0.0
+        nb = 0
+        for batch in sampler:
+            key, dk = jax.random.split(key)
+            params, opt_state, loss = train_step(params, opt_state, batch, dk)
+            epoch_loss += float(loss)
+            total_edges += batch.n_real_edges
+            nb += 1
+        jax.block_until_ready(params)
+        total_time += time.time() - t0  # eval excluded (cluster_gcn.py:91-108)
+        if (epoch + 1) % eval_every == 0 or epoch == tc.n_epochs - 1:
+            va, ta = evaluate(params)
+            val_accs.append(va)
+            test_accs.append(ta)
+        losses.append(epoch_loss / max(nb, 1))
+        if verbose:
+            print(f"Epoch {epoch}: loss {losses[-1]:.4f} "
+                  f"val {val_accs[-1]:.4f}", flush=True)
+
+    results = {
+        "dataset": ds.name,
+        "train_time": total_time,
+        "edges_per_sec": total_edges / total_time if total_time else 0.0,
+        "last_val": val_accs[-1], "best_val": max(val_accs),
+        "last_test": test_accs[-1], "best_test": max(test_accs),
+        "val_accs": val_accs, "test_accs": test_accs, "losses": losses,
+    }
+    if verbose:
+        print(f"Training Time: {total_time:.4f}", flush=True)
+        print(f"Last Val: {val_accs[-1]:.4f}", flush=True)
+        print(f"Best Val: {max(val_accs):.4f}", flush=True)
+        print(f"Last Test: {test_accs[-1]:.4f}", flush=True)
+        print(f"Best Test: {max(test_accs):.4f}", flush=True)
+    return results

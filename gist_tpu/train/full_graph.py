@@ -1,0 +1,112 @@
+"""Full-graph GCN training — the gcn/train.py baseline, jit end-to-end.
+
+One jitted train step (forward + masked CE + Adam) and one jitted eval;
+wall-clock accounting matches the reference (first 3 epochs excluded as
+warm-up, train.py:102, eval excluded from step timing) and the
+throughput print is the same KTEPS = edges/mean-epoch-sec/1000
+(train_ist.py:296-298).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gist_tpu.data.container import Dataset
+from gist_tpu.graph import Graph, graph_from_edges
+from gist_tpu.models import gcn
+from gist_tpu.models.common import masked_accuracy, masked_cross_entropy
+from gist_tpu.train.common import (TrainConfig, make_optimizer,
+                                   print_reference_summary,
+                                   reference_lr_schedule)
+
+
+def prepare_graph(ds: Dataset) -> Graph:
+    return graph_from_edges(ds.senders, ds.receivers, ds.n_nodes)
+
+
+def train_full_graph(
+    ds: Dataset,
+    model_cfg: gcn.GCNConfig,
+    tc: TrainConfig,
+    *,
+    model=gcn,
+    verbose: bool = True,
+) -> dict:
+    graph = prepare_graph(ds)
+    x = jnp.asarray(ds.features)
+    labels = jnp.asarray(ds.labels)
+    train_mask = jnp.asarray(ds.train_mask)
+    val_mask = jnp.asarray(ds.val_mask)
+    test_mask = jnp.asarray(ds.test_mask)
+
+    params = model.init(jax.random.PRNGKey(tc.seed), model_cfg)
+    # LR enters via a mutable scalar so the /10-at-50/75% schedule
+    # doesn't retrigger compilation (optax injected hyperparams).
+    opt = optax.inject_hyperparams(make_optimizer,
+                                   static_args=("weight_decay",))(
+        lr=tc.lr, weight_decay=tc.weight_decay)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, key):
+        def loss_fn(p):
+            logits = model.apply(p, graph, x, model_cfg, train=True,
+                                 dropout_key=key)
+            return masked_cross_entropy(logits, labels, train_mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def evaluate(params):
+        logits = model.apply(params, graph, x, model_cfg)
+        return (masked_accuracy(logits, labels, val_mask),
+                masked_accuracy(logits, labels, test_mask))
+
+    key = jax.random.PRNGKey(tc.dropout_seed)
+    durs = []
+    val_accs, test_accs, losses = [], [], []
+    for epoch in range(tc.n_epochs):
+        if tc.lr_schedule:
+            opt_state.hyperparams["lr"] = jnp.asarray(
+                reference_lr_schedule(tc.lr, tc.n_epochs, epoch))
+        key, step_key = jax.random.split(key)
+        t0 = time.time()
+        params, opt_state, loss = train_step(params, opt_state, step_key)
+        loss.block_until_ready()
+        if epoch >= 3:  # warm-up epochs excluded (train.py:102)
+            durs.append(time.time() - t0)
+        va, ta = evaluate(params)
+        val_accs.append(float(va))
+        test_accs.append(float(ta))
+        losses.append(float(loss))
+
+    mean_dur = float(np.mean(durs)) if durs else 0.0
+    kteps = graph.n_edges / mean_dur / 1000 if mean_dur else 0.0
+    results = {
+        "dataset": ds.name,
+        "final_test_acc": test_accs[-1],
+        "best_val_acc": max(val_accs),
+        "best_test_acc": max(test_accs),
+        "val_accs": val_accs,
+        "test_accs": test_accs,
+        "losses": losses,
+        "mean_epoch_s": mean_dur,
+        "kteps": kteps,
+        "train_time": mean_dur * max(len(durs), 1),
+    }
+    if verbose:
+        print(f"Final Test Accuracy: {test_accs[-1]:.4f}")
+        print(f"Best Val Accuracy: {max(val_accs):.4f}")
+        print(f"Best Test Accuracy: {max(test_accs):.4f}")
+        print(f"ETputs(KTEPS) {kteps:.2f}")
+    return results

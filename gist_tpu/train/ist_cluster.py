@@ -1,0 +1,198 @@
+"""Distributed IST + Cluster-GCN sampling — the full
+cluster_gcn_ist_distrib.py pipeline, TPU-native.
+
+Structure per round (= ``iter_per_site`` steps between syncs,
+ist_distrib.py:394-427): collect ``iter_per_site`` padded cluster
+batches host-side, stack them on a scan axis, and run one jitted
+shard_map round (dispatch → scan of local steps → all_gather merge).
+Every subnet consumes the identical batch stream, matching the
+identically-seeded per-rank cluster iterators of the reference
+(run_ist_sweep_reddit.py:68).
+
+Eval runs on the merged full model over the full graph — on the same
+chip(s), not a rank-0 parameter server (ist_distrib.py:437-447's
+bottleneck removed).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gist_tpu.data.container import Dataset
+from gist_tpu.graph import graph_from_edges
+from gist_tpu.ist.distributed import build_ist_round, make_subnet_mesh
+from gist_tpu.ist.partition import boundary_sizes, sample_boundaries
+from gist_tpu.models import sage
+from gist_tpu.models.common import masked_accuracy, micro_f1
+from gist_tpu.sampler import ClusterSampler
+from gist_tpu.train.common import TrainConfig, reference_lr_schedule
+
+
+def _stack_batches(batches):
+    """Stack ClusterBatches (re-padded to a common bucket) on a leading
+    scan axis, as the (graph, feats, labels, mask) tuple round_fn scans."""
+    graphs = [b.graph for b in batches]
+    g = jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
+    feats = jnp.stack([b.features for b in batches])
+    labels = jnp.stack([b.labels for b in batches])
+    masks = jnp.stack([b.train_mask for b in batches])
+    return (g, feats, labels, masks)
+
+
+class _RoundCollector:
+    """Pulls batches off the sampler epoch-by-epoch, re-padding each
+    round to its max bucket so the stacked scan has uniform shapes."""
+
+    def __init__(self, sampler: ClusterSampler, spr: int):
+        self.sampler = sampler
+        self.spr = spr
+        self._gen = None
+
+    def _next_ids(self):
+        if self._gen is None:
+            self._gen = self._id_gen()
+        try:
+            return next(self._gen)
+        except StopIteration:
+            self._gen = self._id_gen()
+            return next(self._gen)
+
+    def _id_gen(self):
+        order = self.sampler._order.copy()
+        self.sampler.rng.shuffle(self.sampler._order)
+        bs = self.sampler.batch_size
+        for i in range(len(self.sampler)):
+            ids = order[i * bs:(i + 1) * bs]
+            yield np.concatenate([self.sampler.partitions[j] for j in ids])
+
+    def collect(self):
+        id_sets = [self._next_ids() for _ in range(self.spr)]
+        from gist_tpu.sampler import bucket_size
+        node_pad = max(bucket_size(len(ids)) for ids in id_sets)
+        batches = [self.sampler.make_batch(ids, node_pad=node_pad)
+                   for ids in id_sets]
+        edge_pad = max(b.graph.n_edges_padded for b in batches)
+        batches = [
+            b if b.graph.n_edges_padded == edge_pad else
+            self.sampler.make_batch(ids, node_pad=node_pad,
+                                    edge_pad=edge_pad)
+            for b, ids in zip(batches, id_sets)]
+        return batches
+
+
+def train_ist_cluster(
+    ds: Dataset,
+    model_cfg: sage.SAGEConfig,
+    tc: TrainConfig,
+    *,
+    psize: int = 1500,
+    batch_size: int = 20,
+    use_pp: bool = False,
+    use_f1: bool = False,
+    normalize: bool = False,
+    cache_dir: Optional[str] = None,
+    model=sage,
+    kind: str = "sage",
+    mesh=None,
+    verbose: bool = True,
+) -> dict:
+    K = tc.num_subnet
+    if normalize:
+        ds.normalize_features()
+    mesh = mesh or make_subnet_mesh(K)
+    sampler = ClusterSampler(ds, psize, batch_size, use_pp=use_pp,
+                             cache_dir=cache_dir, seed=tc.seed)
+    full_graph = graph_from_edges(ds.senders, ds.receivers, ds.n_nodes)
+    fx = jnp.asarray(ds.features)
+    flabels = jnp.asarray(ds.labels)
+    val_mask = jnp.asarray(ds.val_mask)
+    test_mask = jnp.asarray(ds.test_mask)
+
+    full_params = model.init(jax.random.PRNGKey(tc.seed), model_cfg)
+    if kind == "gat":
+        # GAT-IST: hidden boundaries only, shared last attn
+        # (ist_distrib_gat.py:88-94)
+        sub_cfg = model_cfg.sub_config(num_subnet=K)
+        sizes = [None] + [model_cfg.n_hidden] * (model_cfg.n_layers - 1) \
+            + [None]
+    else:
+        sub_cfg = model_cfg.sub_config(split_input=False, split_output=True,
+                                       num_subnet=K)
+        sizes = boundary_sizes(model_cfg.in_feats, model_cfg.n_hidden,
+                               model_cfg.n_layers, split_input=False,
+                               split_output=True)
+    round_fn = build_ist_round(model, sub_cfg, mesh=mesh, kind=kind,
+                               num_subnet=K, weight_decay=tc.weight_decay,
+                               split_input=False)
+
+    @jax.jit
+    def infer_full(params):
+        return model.apply(params, full_graph, fx, model_cfg)
+
+    def evaluate(params):
+        logits = infer_full(params)
+        if use_f1:
+            l = np.asarray(logits)
+            return (micro_f1(l, ds.labels, ds.val_mask),
+                    micro_f1(l, ds.labels, ds.test_mask))
+        return (float(masked_accuracy(logits, flabels, val_mask)),
+                float(masked_accuracy(logits, flabels, test_mask)))
+
+    # local epochs: n_epochs // num_subnet (ist_distrib.py:385)
+    local_epochs = max(tc.n_epochs // K, 1)
+    steps_total = local_epochs * len(sampler)
+    n_rounds = max(steps_total // tc.iter_per_site, 1)
+    collector = _RoundCollector(sampler, tc.iter_per_site)
+
+    part_key = jax.random.PRNGKey(tc.seed + 1)
+    drop_key = jax.random.PRNGKey(tc.dropout_seed)
+    total_time = 0.0
+    total_edges = 0
+    val_accs, test_accs, losses = [], [], []
+    steps_per_eval = max(len(sampler), 1)
+    steps_done = 0
+    next_eval = steps_per_eval
+    for rnd in range(n_rounds):
+        batches = collector.collect()
+        stacked = _stack_batches(batches)
+        part_key, sk = jax.random.split(part_key)
+        bnds = sample_boundaries(sk, sizes, K)
+        lr = reference_lr_schedule(tc.lr, n_rounds, rnd) if tc.lr_schedule \
+            else tc.lr
+        drop_key, dk = jax.random.split(drop_key)
+        t0 = time.time()
+        full_params, rl = round_fn(full_params, bnds, stacked,
+                                   jnp.asarray(lr), dk)
+        jax.block_until_ready(full_params)
+        total_time += time.time() - t0
+        total_edges += sum(b.n_real_edges for b in batches) * K
+        steps_done += tc.iter_per_site
+        losses.append(float(jnp.mean(rl)))
+        if steps_done >= next_eval or rnd == n_rounds - 1:
+            next_eval += steps_per_eval
+            va, ta = evaluate(full_params)
+            val_accs.append(va)
+            test_accs.append(ta)
+            if verbose:
+                print(f"round {rnd}/{n_rounds}: loss {losses[-1]:.4f} "
+                      f"val {va:.4f}", flush=True)
+
+    results = {
+        "dataset": ds.name, "num_subnet": K, "train_time": total_time,
+        "edges_per_sec": total_edges / total_time if total_time else 0.0,
+        "last_val": val_accs[-1], "best_val": max(val_accs),
+        "last_test": test_accs[-1], "best_test": max(test_accs),
+        "val_accs": val_accs, "test_accs": test_accs, "losses": losses,
+    }
+    if verbose:
+        print(f"Training Time: {total_time:.4f}", flush=True)
+        print(f"Last Val: {val_accs[-1]:.4f}", flush=True)
+        print(f"Best Val: {max(val_accs):.4f}", flush=True)
+        print(f"Last Test: {test_accs[-1]:.4f}", flush=True)
+        print(f"Best Test: {max(test_accs):.4f}", flush=True)
+    return results

@@ -1,0 +1,46 @@
+"""Synthetic datasets + dataset utilities."""
+
+import numpy as np
+import pytest
+
+from gist_tpu.data import Dataset, load_dataset, synthetic_dataset
+
+
+def test_synthetic_deterministic():
+    a = synthetic_dataset("synth-tiny", seed=0)
+    b = synthetic_dataset("synth-tiny", seed=0)
+    np.testing.assert_array_equal(a.features, b.features)
+    np.testing.assert_array_equal(a.senders, b.senders)
+    c = synthetic_dataset("synth-tiny", seed=1)
+    assert not np.array_equal(a.senders, c.senders)
+
+
+def test_synthetic_masks_disjoint():
+    ds = synthetic_dataset("synth-cora")
+    assert ds.n_nodes == 2708 and ds.n_classes == 7
+    overlap = (ds.train_mask & ds.val_mask) | (ds.train_mask & ds.test_mask) \
+        | (ds.val_mask & ds.test_mask)
+    assert not overlap.any()
+    assert ds.train_mask.sum() == 140
+
+
+def test_normalize_features():
+    ds = synthetic_dataset("synth-tiny")
+    ds.normalize_features()
+    train = ds.features[ds.train_mask]
+    np.testing.assert_allclose(train.mean(axis=0), 0.0, atol=1e-4)
+
+
+def test_random_projection():
+    ds = synthetic_dataset("synth-tiny")
+    ds.random_projection(24)
+    assert ds.features.shape == (ds.n_nodes, 24)
+
+
+def test_load_dataset_dispatch():
+    ds = load_dataset("synth-tiny")
+    assert isinstance(ds, Dataset)
+    with pytest.raises(KeyError):
+        load_dataset("nope")
+    with pytest.raises(FileNotFoundError):
+        load_dataset("cora", root="/nonexistent")
