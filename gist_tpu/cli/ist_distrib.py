@@ -43,10 +43,17 @@ def main(argv=None):
                      n_epochs=args.n_epochs, seed=args.rnd_seed,
                      num_subnet=args.num_subnet,
                      iter_per_site=args.iter_per_site)
-    results = train_ist_cluster(
-        ds, cfg, tc, psize=args.psize, batch_size=args.batch_size,
-        use_pp=args.use_pp, use_f1=args.use_f1, normalize=args.normalize,
-        cache_dir=args.cache_dir)
+    if args.ultra_wide:
+        from gist_tpu.train.ist_ultrawide import train_ist_ultrawide
+        results = train_ist_ultrawide(
+            ds, cfg, tc, psize=args.psize, batch_size=args.batch_size,
+            use_pp=args.use_pp, use_f1=args.use_f1,
+            normalize=args.normalize, cache_dir=args.cache_dir)
+    else:
+        results = train_ist_cluster(
+            ds, cfg, tc, psize=args.psize, batch_size=args.batch_size,
+            use_pp=args.use_pp, use_f1=args.use_f1, normalize=args.normalize,
+            cache_dir=args.cache_dir)
     write_results(results, args.result_json)
     return results
 

@@ -48,6 +48,7 @@ class TiledCSR:
     tile_offsets: jnp.ndarray  # (num_tiles + 1,) int32, multiples of chunk
     tile_rows: int = struct.field(pytree_node=False)   # TN
     chunk: int = struct.field(pytree_node=False)       # C (1024)
+    max_chunks: int = struct.field(pytree_node=False)  # max per-tile chunks
 
     @property
     def num_tiles(self) -> int:
@@ -82,7 +83,8 @@ def _build_tiled_csr(senders_sorted: np.ndarray, receivers_sorted: np.ndarray,
     return TiledCSR(
         senders=jnp.asarray(s_out), receivers=jnp.asarray(r_out),
         tile_offsets=jnp.asarray(offsets, dtype=jnp.int32),
-        tile_rows=tile_rows, chunk=chunk)
+        tile_rows=tile_rows, chunk=chunk,
+        max_chunks=int(padded.max() // chunk) if num_tiles else 0)
 
 
 def _round_up_arr(x: np.ndarray, m: int) -> np.ndarray:

@@ -81,8 +81,11 @@ def _multi_head_layer(graph: Graph, h: jnp.ndarray, layer: dict,
     # per-head scores: (E, H)
     src = jnp.einsum("nho,ho->nh", z, attn[:, :d_out])
     dst = jnp.einsum("nho,ho->nh", z, attn[:, d_out:])
-    scores = jnp.take(src, graph.senders, axis=0) + jnp.take(
-        dst, graph.receivers, axis=0)
+    # mode="clip": padding edges carry receiver == n_nodes; the default
+    # out-of-bounds fill is NaN, which poisons gradients through the
+    # downstream masks even though the forward value is masked out.
+    scores = jnp.take(src, graph.senders, axis=0, mode="clip") + jnp.take(
+        dst, graph.receivers, axis=0, mode="clip")
     scores = jax.nn.leaky_relu(scores, negative_slope)
     alpha = segment_softmax(graph, scores)            # (E, H)
     out = segment_weighted_sum(graph, z, alpha)       # (N, H, O)

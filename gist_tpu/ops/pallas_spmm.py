@@ -10,22 +10,25 @@ entirely:
   1. (XLA) ``msgs = x[tiled.senders]`` — gather source rows in
      *tile-aligned edge order* (gist_tpu.graph.TiledCSR: edges
      receiver-sorted, each destination tile's segment padded to
-     multiples of C=1024).
-  2. (Pallas) grid over destination tiles of TN rows.  The tile's
-     messages are a contiguous, 1024-row-aligned range of ``msgs`` —
-     streamed through VMEM in double-buffered (C, F) chunks — and the
+     multiples of C=1024, so every chunk of every tile sits at a
+     C-aligned offset).
+  2. (Pallas) 2-D grid (dst_tile i, chunk c) driving the AUTOMATIC
+     block pipeline — no manual DMA/semaphores, Mosaic double-buffers
+     the (C, F) message block and (1, C) receiver block whose indices
+     the scalar-prefetched tile_offsets compute.  The
      scatter-accumulate becomes an MXU matmul with a one-hot
      local-receiver matrix:
 
         one_hot[t, j] = (receivers[j] - i*TN == t)     (TN, C)
         acc += one_hot @ chunk                          (fp32 MXU)
 
+     The output block index depends only on i, so acc lives in VMEM
+     across the chunk loop (standard revisited-block reduction).
+     Tiles with fewer than max_chunks chunks clamp their block index
+     (no re-fetch) and skip compute via @pl.when.
+
 Padding edges carry receiver == num_tiles*TN (outside every tile's
-local range) so their one-hot columns are zero — no masking.  Mosaic
-alignment notes: 1-D i32 DMA slices need 1024-aligned offset+size
-(hence C=1024 and the TiledCSR padding); 2-D row-chunk slices need
-8-row alignment (1024-aligned offsets satisfy it); full minor dims
-need no lane padding.
+local range) so their one-hot columns are zero — no masking.
 
 Backward: dx = A^T dy runs the same two phases on the transpose
 TiledCSR (custom_vjp), so autodiff never touches XLA scatter either.
@@ -42,119 +45,114 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gist_tpu.graph import Graph, TiledCSR
 
-NBUF = 2
-
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
 def _reduce_kernel(tile_offsets_ref,    # SMEM (num_tiles+1,) scalar prefetch
-                   msgs_ref,            # HBM (E_t, F) gathered source rows
-                   receivers_ref,       # HBM (E_t,)
-                   out_ref,             # VMEM (TN, F) current dst tile
-                   recv_ref,            # VMEM scratch (NBUF, C)
-                   staging_ref,         # VMEM scratch (NBUF, C, F)
+                   recv_ref,            # VMEM (1, 1, C) current receiver block
+                   msgs_ref,            # VMEM (C, F) current message block
+                   out_ref,             # VMEM (TN, F) dst tile (revisited)
                    acc_ref,             # VMEM scratch (TN, F) fp32
-                   recv_sem, row_sem,   # DMA semaphore arrays (NBUF,)
                    *, TN: int, C: int):
     i = pl.program_id(0)
-    e0 = tile_offsets_ref[i]
-    nchunks = (tile_offsets_ref[i + 1] - e0) // C
+    c = pl.program_id(1)
+    nchunks = (tile_offsets_ref[i + 1] - tile_offsets_ref[i]) // C
 
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    def dmas(c):
-        e = pl.multiple_of(e0 + c * C, C)
-        slot = jax.lax.rem(c, NBUF)
-        return (
-            pltpu.make_async_copy(receivers_ref.at[pl.ds(e, C)],
-                                  recv_ref.at[slot], recv_sem.at[slot]),
-            pltpu.make_async_copy(msgs_ref.at[pl.ds(e, C), :],
-                                  staging_ref.at[slot], row_sem.at[slot]),
-        )
-
-    @pl.when(nchunks > 0)
+    @pl.when(c == 0)
     def _():
-        for d in dmas(0):
-            d.start()
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    def chunk_body(c, _):
-        slot = jax.lax.rem(c, NBUF)
-
-        @pl.when(c + 1 < nchunks)
-        def _():
-            for d in dmas(c + 1):
-                d.start()
-
-        for d in dmas(c):
-            d.wait()
-
-        local = recv_ref[slot].astype(jnp.int32) - i * TN       # (C,)
+    @pl.when(c < nchunks)
+    def _():
+        local = recv_ref[0, 0].astype(jnp.int32) - i * TN       # (C,)
         rows = jax.lax.broadcasted_iota(jnp.int32, (TN, C), 0)
-        one_hot = (rows == local[None, :]).astype(jnp.float32)  # (TN, C)
-        acc_ref[...] += jax.lax.dot(
-            one_hot, staging_ref[slot].astype(jnp.float32),
-            preferred_element_type=jnp.float32)
-        return 0
+        one_hot = (rows == local[None, :]).astype(jnp.bfloat16)  # (TN, C)
+        # The MXU runs fp32 matmuls at bf16 precision; a plain dot loses
+        # ~1e-2 relative accuracy.  The one-hot factor is bf16-exact, so
+        # split the messages into hi + lo bf16 parts: two full-speed
+        # bf16 passes recover ~1e-5 relative error with fp32 accumulate.
+        msgs = msgs_ref[...].astype(jnp.float32)
+        hi = msgs.astype(jnp.bfloat16)
+        lo = (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc_ref[...] += (
+            jax.lax.dot(one_hot, hi, preferred_element_type=jnp.float32)
+            + jax.lax.dot(one_hot, lo, preferred_element_type=jnp.float32))
 
-    jax.lax.fori_loop(0, nchunks, chunk_body, 0)
-    out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _():
+        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rows", "chunk", "n_nodes"))
+@functools.partial(jax.jit, static_argnames=("tile_rows", "chunk",
+                                             "max_chunks", "n_nodes"))
 def _spmm_tiled(tile_offsets, senders, receivers, x, *,
-                tile_rows: int, chunk: int, n_nodes: int):
+                tile_rows: int, chunk: int, max_chunks: int, n_nodes: int):
     TN, C = tile_rows, chunk
     f = x.shape[1]
     num_tiles = tile_offsets.shape[0] - 1
+    e_t = int(senders.shape[0])
+
     # Phase 1: XLA gather into tile-aligned edge order.
-    msgs = jnp.take(x, senders, axis=0)
-    # Phase 2: Pallas tiled segment reduce (scatter-free).
+    msgs = jnp.take(x, senders, axis=0)              # (E_t, F)
+    # 3-D so the (1, C) block's last-two dims equal the array dims
+    # (Pallas TPU blocking constraint: last two dims divisible by
+    # (8, 128) OR equal to the array's)
+    recv3d = receivers.reshape(e_t // C, 1, C)
+
+    def chunk_index(i, c, offs):
+        # clamp into this tile's valid chunk range so skipped iterations
+        # repeat the previous block index (pipeline skips the re-fetch)
+        first = offs[i] // C
+        last = jnp.maximum(offs[i + 1] // C - 1, first)
+        return jnp.minimum(first + c, last)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(num_tiles,),
+        grid=(num_tiles, max_chunks),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),   # msgs
-            pl.BlockSpec(memory_space=pltpu.HBM),   # receivers
+            pl.BlockSpec((1, 1, C),
+                         lambda i, c, offs: (chunk_index(i, c, offs), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, f), lambda i, c, offs: (chunk_index(i, c, offs), 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TN, f), lambda i, *_: (i, 0),
+        out_specs=pl.BlockSpec((TN, f), lambda i, c, offs: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, C), jnp.int32),
-            pltpu.VMEM((NBUF, C, f), x.dtype),
             pltpu.VMEM((TN, f), jnp.float32),
-            pltpu.SemaphoreType.DMA((NBUF,)),
-            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
-    e_t = int(senders.shape[0])
     out = pl.pallas_call(
         functools.partial(_reduce_kernel, TN=TN, C=C),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles * TN, f), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * e_t * f * TN,
             bytes_accessed=e_t * (f * 4 + 4) + num_tiles * TN * f * 4,
             transcendentals=0,
         ),
-    )(tile_offsets, msgs, receivers)
+    )(tile_offsets, recv3d, msgs)
     return out[:n_nodes]
 
 
 def _run_tiled(t: TiledCSR, x: jnp.ndarray, n_nodes: int) -> jnp.ndarray:
     f = x.shape[1]
-    vmem_need = (NBUF * t.chunk * f + 2 * t.tile_rows * f) * 4
+    # pipeline holds 2 buffers of each block + acc + out tile
+    vmem_need = (2 * t.chunk * f + 2 * t.tile_rows * f) * 4
     if vmem_need > 13 * 2 ** 20:
         raise NotImplementedError(
             f"feature width {f} needs {vmem_need >> 20} MiB VMEM; "
             "feature-tiling not implemented yet — use the segment backend")
+    if t.max_chunks == 0:
+        return jnp.zeros((n_nodes, f), x.dtype)
     return _spmm_tiled(t.tile_offsets, t.senders, t.receivers, x,
                        tile_rows=t.tile_rows, chunk=t.chunk,
-                       n_nodes=n_nodes)
+                       max_chunks=t.max_chunks, n_nodes=n_nodes)
 
 
 @jax.custom_vjp

@@ -36,8 +36,10 @@ def sddmm_concat(graph: Graph, z: jnp.ndarray, attn_l: jnp.ndarray,
     """
     src_score = z @ attn_l          # (N,) or (N, H)
     dst_score = z @ attn_r
-    return jnp.take(src_score, graph.senders, axis=0) + jnp.take(
-        dst_score, graph.receivers, axis=0)
+    # mode="clip": padding receivers (== n_nodes) would otherwise fill
+    # NaN (jnp.take's out-of-bounds default) and poison gradients.
+    return jnp.take(src_score, graph.senders, axis=0, mode="clip") + \
+        jnp.take(dst_score, graph.receivers, axis=0, mode="clip")
 
 
 def segment_softmax(graph: Graph, scores: jnp.ndarray) -> jnp.ndarray:
@@ -62,7 +64,9 @@ def segment_softmax(graph: Graph, scores: jnp.ndarray) -> jnp.ndarray:
     sums = jax.ops.segment_sum(exp, seg, num_segments=n,
                                indices_are_sorted=True)
     gathered_sum = jnp.take(sums, jnp.minimum(seg, n - 1), axis=0)
-    return exp / jnp.maximum(gathered_sum, 1e-38)
+    # eps must be a NORMAL fp32 (1e-38 is subnormal; XLA CPU flushes it
+    # to zero, turning empty segments into 0/0 = NaN)
+    return exp / jnp.maximum(gathered_sum, 1e-20)
 
 
 def segment_weighted_sum(graph: Graph, z: jnp.ndarray,

@@ -1,0 +1,111 @@
+"""Full-graph training with node/edge-sharded activations — one jitted
+shard_map step for the SAGE stack.
+
+Params are replicated; activations, edges, labels, and masks live
+sharded over the ``graph`` axis.  Each layer's aggregation does one
+halo all_to_all (graph_shard.py); everything else is row-parallel.
+The masked-CE loss and the parameter gradients are psum'd over the
+axis, so the update is bitwise-identical on every device.
+
+This trains graphs whose activation memory exceeds one chip — the
+scaling axis the reference lacks entirely (it replicates the full
+graph on every rank, ist_distrib.py:482-517).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gist_tpu.models.layers import layer_norm
+from gist_tpu.parallel.graph_shard import ShardedGraph, _local_agg
+from gist_tpu.train.common import make_optimizer
+
+
+def sharded_sage_forward(sg: ShardedGraph, params: dict, x_loc,
+                         send_idx, senders, receivers, in_deg_loc,
+                         *, use_layernorm: bool = True):
+    """Per-device SAGE stack forward (inside shard_map)."""
+    inv = jnp.where(in_deg_loc > 0, 1.0 / jnp.maximum(in_deg_loc, 1.0),
+                    0.0)[:, None]
+    h = x_loc
+    n = len(params["layers"])
+    for i, layer in enumerate(params["layers"]):
+        ah = _local_agg(sg, h, send_idx, senders, receivers) * inv
+        h = jnp.concatenate([h, ah], axis=1)
+        h = h @ layer["w"] + layer["b"]
+        is_last = i == n - 1
+        if not is_last:
+            if use_layernorm:
+                h = layer_norm(h)
+            h = jax.nn.relu(h)
+    return h
+
+
+def build_sharded_sage_step(sg: ShardedGraph, mesh: Mesh, *,
+                            lr: float, weight_decay: float,
+                            use_layernorm: bool = True):
+    """Returns (init_opt_state, jitted step):
+    ``params, opt_state, loss = step(params, opt_state, x_sh, labels_sh,
+    mask_sh)``, with x/labels/mask sharded (D*n_loc_pad leading dim)."""
+    opt = make_optimizer(lr, weight_decay)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P("graph", None), P("graph"), P("graph"),
+                       P("graph"), P("graph"), P("graph"), P("graph")),
+             out_specs=(P(), P()),
+             check_vma=False)
+    def grad_local(params, x_loc, labels_loc, mask_loc, send_idx,
+                   senders, receivers, in_deg):
+        def loss_fn(p):
+            logits = sharded_sage_forward(
+                sg, p, x_loc, send_idx[0], senders[0], receivers[0],
+                in_deg[0], use_layernorm=use_layernorm)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, labels_loc[:, None],
+                                       axis=-1)[:, 0]
+            m = mask_loc.astype(logits.dtype)
+            num = jax.lax.psum(jnp.sum(nll * m), "graph")
+            den = jax.lax.psum(jnp.sum(m), "graph")
+            return num / jnp.maximum(den, 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.lax.psum(grads, "graph")
+        return grads, loss
+
+    @jax.jit
+    def step(params, opt_state, x_sh, labels_sh, mask_sh):
+        grads, loss = grad_local(params, x_sh, labels_sh, mask_sh,
+                                 sg.send_idx, sg.senders, sg.receivers,
+                                 sg.in_degrees)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return opt.init, step
+
+
+def build_sharded_sage_infer(sg: ShardedGraph, mesh: Mesh, *,
+                             use_layernorm: bool = True):
+    """Jitted sharded inference: logits over all (padded) rows."""
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P("graph", None), P("graph"), P("graph"),
+                       P("graph"), P("graph")),
+             out_specs=P("graph", None),
+             check_vma=False)
+    def fwd(params, x_loc, send_idx, senders, receivers, in_deg):
+        return sharded_sage_forward(
+            sg, params, x_loc, send_idx[0], senders[0], receivers[0],
+            in_deg[0], use_layernorm=use_layernorm)
+
+    def run(params, x_sh):
+        return fwd(params, x_sh, sg.send_idx, sg.senders, sg.receivers,
+                   sg.in_degrees)
+
+    return jax.jit(run)

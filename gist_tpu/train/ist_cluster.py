@@ -36,7 +36,10 @@ from gist_tpu.train.common import TrainConfig, reference_lr_schedule
 def _stack_batches(batches):
     """Stack ClusterBatches (re-padded to a common bucket) on a leading
     scan axis, as the (graph, feats, labels, mask) tuple round_fn scans."""
-    graphs = [b.graph for b in batches]
+    # n_edges is static pytree aux data and varies per batch; normalize
+    # to the (shared) padded count so the Graphs stack.
+    graphs = [b.graph.replace(n_edges=b.graph.n_edges_padded)
+              for b in batches]
     g = jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
     feats = jnp.stack([b.features for b in batches])
     labels = jnp.stack([b.labels for b in batches])

@@ -1,0 +1,135 @@
+"""Ultra-wide distributed IST trainer — cluster_gcn_ist_ultra_wide.py
+parity: the full-width model lives in host RAM; devices only ever hold
+1/K-width sub-models.  See gist_tpu/ist/ultrawide.py for mechanics.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gist_tpu.data.container import Dataset
+from gist_tpu.graph import graph_from_edges
+from gist_tpu.ist.distributed import make_subnet_mesh
+from gist_tpu.ist.partition import boundary_sizes
+from gist_tpu.ist.ultrawide import (build_local_burst, dispatch_host,
+                                    merge_host, sample_boundaries_host,
+                                    shard_over_subnets)
+from gist_tpu.models import sage
+from gist_tpu.models.common import masked_accuracy, micro_f1
+from gist_tpu.sampler import ClusterSampler
+from gist_tpu.train.common import TrainConfig
+from gist_tpu.train.ist_cluster import _RoundCollector, _stack_batches
+
+
+def train_ist_ultrawide(
+    ds: Dataset,
+    model_cfg: sage.SAGEConfig,
+    tc: TrainConfig,
+    *,
+    psize: int = 1500,
+    batch_size: int = 20,
+    use_pp: bool = False,
+    use_f1: bool = False,
+    normalize: bool = False,
+    cache_dir: Optional[str] = None,
+    model=sage,
+    kind: str = "sage",
+    mesh=None,
+    eval_on_cpu: bool = True,
+    eval_every_rounds: int = 1,
+    verbose: bool = True,
+) -> dict:
+    K = tc.num_subnet
+    if normalize:
+        ds.normalize_features()
+    mesh = mesh or make_subnet_mesh(K)
+    sampler = ClusterSampler(ds, psize, batch_size, use_pp=use_pp,
+                             cache_dir=cache_dir, seed=tc.seed)
+
+    # full-width params: HOST numpy (the whole point — ultra_wide.py:78-86).
+    # copy=True: np.asarray views of jax arrays are read-only, and
+    # merge_host scatters in place.
+    full_params = jax.tree.map(
+        lambda a: np.array(a, copy=True),
+        model.init(jax.random.PRNGKey(tc.seed), model_cfg))
+    sub_cfg = model_cfg.sub_config(split_input=False, split_output=True,
+                                   num_subnet=K)
+    sizes = boundary_sizes(model_cfg.in_feats, model_cfg.n_hidden,
+                           model_cfg.n_layers, split_input=False,
+                           split_output=True)
+    burst_fn = build_local_burst(model, sub_cfg, mesh=mesh,
+                                 weight_decay=tc.weight_decay)
+
+    # full-graph eval on the CPU backend (--eval-cpu, cluster_gcn.py:110-127)
+    eval_device = (jax.devices("cpu")[0] if eval_on_cpu
+                   else jax.devices()[0])
+    eval_graph = None
+
+    def evaluate(params_np):
+        nonlocal eval_graph
+        with jax.default_device(eval_device):
+            if eval_graph is None:
+                eval_graph = graph_from_edges(ds.senders, ds.receivers,
+                                              ds.n_nodes)
+            p = jax.tree.map(jnp.asarray, params_np)
+            logits = model.apply(p, eval_graph, jnp.asarray(ds.features),
+                                 model_cfg)
+            l = np.asarray(logits)
+        if use_f1:
+            return (micro_f1(l, ds.labels, ds.val_mask),
+                    micro_f1(l, ds.labels, ds.test_mask))
+        pred = l.argmax(-1)
+        va = float((pred[ds.val_mask] == ds.labels[ds.val_mask]).mean())
+        ta = float((pred[ds.test_mask] == ds.labels[ds.test_mask]).mean()) \
+            if ds.test_mask.any() else va
+        return va, ta
+
+    local_epochs = max(tc.n_epochs // K, 1)
+    n_rounds = max(local_epochs * len(sampler) // tc.iter_per_site, 1)
+    collector = _RoundCollector(sampler, tc.iter_per_site)
+    host_rng = np.random.default_rng(tc.seed + 1)
+    drop_key = jax.random.PRNGKey(tc.dropout_seed)
+
+    total_time = 0.0
+    val_accs, test_accs, losses = [], [], []
+    for rnd in range(n_rounds):
+        batches = collector.collect()
+        stacked_batches = _stack_batches(batches)
+        t0 = time.time()
+        bnds = sample_boundaries_host(host_rng, sizes, K)
+        shards = shard_over_subnets(mesh, dispatch_host(
+            full_params, bnds, K, kind))       # one H2D per round
+        drop_key, dk = jax.random.split(drop_key)
+        shards, rl = burst_fn(shards, stacked_batches,
+                              jnp.asarray(tc.lr), dk)
+        trained = jax.tree.map(np.asarray, shards)   # one D2H per round
+        full_params = merge_host(full_params, bnds, trained, K, kind)
+        total_time += time.time() - t0
+        losses.append(float(np.mean(np.asarray(rl))))
+        if (rnd + 1) % eval_every_rounds == 0 or rnd == n_rounds - 1:
+            va, ta = evaluate(full_params)
+            val_accs.append(va)
+            test_accs.append(ta)
+            if verbose:
+                print(f"round {rnd}/{n_rounds}: loss {losses[-1]:.4f} "
+                      f"val {va:.4f}", flush=True)
+
+    results = {
+        "dataset": ds.name, "num_subnet": K, "train_time": total_time,
+        "last_val": val_accs[-1], "best_val": max(val_accs),
+        "last_test": test_accs[-1], "best_test": max(test_accs),
+        "val_accs": val_accs, "test_accs": test_accs, "losses": losses,
+        "ultra_wide": True,
+    }
+    if verbose:
+        print(f"Training Time: {total_time:.4f}", flush=True)
+        print(f"Last Val: {val_accs[-1]:.4f}", flush=True)
+        print(f"Best Val: {max(val_accs):.4f}", flush=True)
+        print(f"Last Test: {test_accs[-1]:.4f}", flush=True)
+        print(f"Best Test: {max(test_accs):.4f}", flush=True)
+    return results

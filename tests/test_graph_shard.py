@@ -1,0 +1,75 @@
+"""Edge-partitioned multi-device aggregation vs the dense oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from conftest import dense_adj, make_random_graph
+
+from gist_tpu.parallel import (ShardedGraph, build_sharded_graph,
+                               sharded_aggregate)
+from gist_tpu.parallel.graph_shard import shard_features, unshard
+
+
+def make_mesh(d):
+    return Mesh(np.asarray(jax.devices()[:d]), ("graph",))
+
+
+@pytest.mark.parametrize("n_nodes,n_edges,d", [(50, 300, 4), (64, 200, 8),
+                                               (33, 101, 2)])
+def test_sharded_aggregate_matches_dense(rng, n_nodes, n_edges, d):
+    s, r = make_random_graph(rng, n_nodes, n_edges)
+    sg = build_sharded_graph(s, r, n_nodes, d)
+    mesh = make_mesh(d)
+    x = rng.standard_normal((n_nodes, 16)).astype(np.float32)
+    xs = shard_features(sg, x, mesh)
+    agg = sharded_aggregate(sg, mesh)
+    y = unshard(sg, agg(xs))
+    A = dense_adj(s, r, n_nodes)
+    np.testing.assert_allclose(np.asarray(y), A @ x, rtol=1e-5, atol=1e-5)
+
+
+def test_halo_sizes_reasonable(rng):
+    """With a locality partitioner on a clustered graph the halo should
+    be far smaller than full replication."""
+    from gist_tpu.data import synthetic_dataset
+    ds = synthetic_dataset("synth-tiny")
+    d = 4
+    sg = build_sharded_graph(ds.senders, ds.receivers, ds.n_nodes, d)
+    # halo rows exchanged per device vs full feature replication
+    assert sg.halo_pad * d < ds.n_nodes, (sg.halo_pad, ds.n_nodes)
+
+
+def test_sharded_sage_layer_matches_single_device(rng):
+    """A SAGE layer computed with sharded aggregation equals the
+    single-device layer."""
+    import gist_tpu.graph as G
+    from gist_tpu.models.layers import sage_layer
+    from gist_tpu.models import sage
+
+    n, d, f = 48, 4, 12
+    s, r = make_random_graph(rng, n, 250)
+    sg = build_sharded_graph(s, r, n, d)
+    mesh = make_mesh(d)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+
+    # single device reference
+    g = G.graph_from_edges(s, r, n)
+    cfg = sage.SAGEConfig(f, 8, 3, n_layers=0)
+    params = sage.init(jax.random.PRNGKey(0), cfg)
+    layer = params["layers"][0]
+    want = sage_layer(g, jnp.asarray(x), layer, use_layer_norm=False)
+
+    # sharded: aggregate then the dense part per node (dense ops are
+    # row-parallel, so just run them on the unsharded result)
+    xs = shard_features(sg, x, mesh)
+    agg = sharded_aggregate(sg, mesh)
+    ah = unshard(sg, agg(xs))
+    inv = np.where(np.asarray(g.in_degrees) > 0,
+                   1.0 / np.maximum(np.asarray(g.in_degrees), 1), 0.0)
+    h = jnp.concatenate([jnp.asarray(x), ah * inv[:, None]], axis=1)
+    got = h @ layer["w"] + layer["b"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

@@ -32,7 +32,8 @@ def test_pallas_spmm_matches_segment(rng, n_nodes, n_edges, f):
     x = jnp.asarray(rng.standard_normal((n_nodes, f)).astype(np.float32))
     want = np.asarray(spmm_segment(g, x))
     got = np.asarray(run_interpret(g, x))
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # hi/lo bf16 split accumulation: ~1e-6 relative per chunk
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
 def test_pallas_spmm_skewed_degrees(rng):

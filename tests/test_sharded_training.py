@@ -1,0 +1,82 @@
+"""Sharded full-graph SAGE training == single-device training."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from conftest import make_random_graph
+
+import gist_tpu.graph as G
+from gist_tpu.data import synthetic_dataset
+from gist_tpu.models import sage
+from gist_tpu.models.common import masked_accuracy, masked_cross_entropy
+from gist_tpu.parallel import build_sharded_graph
+from gist_tpu.parallel.graph_shard import shard_features, unshard
+from gist_tpu.parallel.train import (build_sharded_sage_infer,
+                                     build_sharded_sage_step)
+from gist_tpu.train.common import make_optimizer
+import optax
+
+
+def test_sharded_step_matches_single_device():
+    ds = synthetic_dataset("synth-tiny")
+    d = 4
+    mesh = Mesh(np.asarray(jax.devices()[:d]), ("graph",))
+    sg = build_sharded_graph(ds.senders, ds.receivers, ds.n_nodes, d)
+    cfg = sage.SAGEConfig(ds.in_feats, 16, ds.n_classes, n_layers=1,
+                          dropout=0.0)
+    params = sage.init(jax.random.PRNGKey(0), cfg)
+
+    # sharded data
+    xs = shard_features(sg, ds.features, mesh)
+    perm = np.asarray(sg.node_perm)
+    lab = np.zeros(sg.total_rows, np.int32)
+    lab[perm] = ds.labels
+    msk = np.zeros(sg.total_rows, bool)
+    msk[perm] = ds.train_mask
+    labels_sh = jnp.asarray(lab)
+    mask_sh = jnp.asarray(msk)
+
+    init_opt, step = build_sharded_sage_step(sg, mesh, lr=1e-2,
+                                             weight_decay=0.0)
+    opt_state = init_opt(params)
+    p_sh = params
+    losses_sh = []
+    for _ in range(3):
+        p_sh, opt_state, loss = step(p_sh, opt_state, xs, labels_sh, mask_sh)
+        losses_sh.append(float(loss))
+
+    # single-device reference (same math, no dropout)
+    g = G.graph_from_edges(ds.senders, ds.receivers, ds.n_nodes)
+    x = jnp.asarray(ds.features)
+    labels = jnp.asarray(ds.labels)
+    mask = jnp.asarray(ds.train_mask)
+    opt = make_optimizer(1e-2, 0.0)
+    st = opt.init(params)
+    p = params
+    losses = []
+    for _ in range(3):
+        def loss_fn(pp):
+            logits = sage.apply(pp, g, x, cfg)
+            return masked_cross_entropy(logits, labels, mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        upd, st = opt.update(grads, st, p)
+        p = optax.apply_updates(p, upd)
+        losses.append(float(loss))
+
+    np.testing.assert_allclose(losses_sh, losses, rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5),
+        p_sh, p)
+
+    # sharded inference matches too
+    infer = build_sharded_sage_infer(sg, mesh)
+    got = unshard(sg, infer(p_sh, xs))
+    want = sage.apply(p, g, x, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-4)
+    acc = masked_accuracy(got, labels, mask)
+    assert np.isfinite(float(acc))

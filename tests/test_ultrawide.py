@@ -1,0 +1,79 @@
+"""Ultra-wide host-offloaded IST: numpy dispatch/merge parity with the
+device implementation, plus an end-to-end cluster training smoke."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gist_tpu.data import synthetic_dataset
+from gist_tpu.ist import dispatch_all, merge, sample_boundaries, boundary_sizes
+from gist_tpu.ist.ultrawide import (dispatch_host, merge_host,
+                                    sample_boundaries_host)
+from gist_tpu.models import sage, gat
+from gist_tpu.train.common import TrainConfig
+
+
+def test_host_dispatch_matches_device():
+    in_f, hid, ncls, n_layers, K = 12, 8, 3, 2, 2
+    cfg = sage.SAGEConfig(in_f, hid, ncls, n_layers=n_layers)
+    full = sage.init(jax.random.PRNGKey(0), cfg)
+    full_np = jax.tree.map(np.asarray, full)
+    sizes = boundary_sizes(in_f, hid, n_layers, split_input=False,
+                           split_output=True)
+    bnds = sample_boundaries(jax.random.PRNGKey(1), sizes, K)
+    bnds_np = [None if b is None else np.asarray(b) for b in bnds]
+
+    dev = dispatch_all(full, bnds, K, kind="sage")
+    host = dispatch_host(full_np, bnds_np, K, kind="sage")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), b, rtol=1e-7),
+        dev, host)
+
+
+def test_host_merge_matches_device():
+    in_f, hid, ncls, n_layers, K = 12, 8, 3, 2, 2
+    cfg = sage.SAGEConfig(in_f, hid, ncls, n_layers=n_layers)
+    full = sage.init(jax.random.PRNGKey(0), cfg)
+    full_np = jax.tree.map(lambda a: np.array(a, copy=True), full)
+    sizes = boundary_sizes(in_f, hid, n_layers, split_input=False,
+                           split_output=True)
+    bnds = sample_boundaries(jax.random.PRNGKey(1), sizes, K)
+    bnds_np = [None if b is None else np.asarray(b) for b in bnds]
+    stacked = dispatch_all(full, bnds, K, kind="sage")
+    bumped = jax.tree.map(lambda x: x + 0.5, stacked)
+    bumped_np = jax.tree.map(np.asarray, bumped)
+
+    dev = merge(full, bnds, bumped, K, kind="sage")
+    host = merge_host(full_np, bnds_np, bumped_np, K, kind="sage")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), b, rtol=1e-6),
+        dev, host)
+
+
+def test_host_gat_roundtrip():
+    cfg = gat.GATConfig(10, 8, 3, n_layers=3, n_heads=2)
+    full = jax.tree.map(np.asarray, gat.init(jax.random.PRNGKey(0), cfg))
+    K = 2
+    rng = np.random.default_rng(0)
+    sizes = [None, 8, 8, None][:cfg.n_layers + 1]
+    bnds = sample_boundaries_host(rng, sizes, K)
+    stacked = dispatch_host(full, bnds, K, kind="gat")
+    full2 = jax.tree.map(lambda a: np.array(a, copy=True), full)
+    merged = merge_host(full2, bnds, stacked, K, kind="gat")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
+        full, merged)
+
+
+def test_ultrawide_training_smoke():
+    from gist_tpu.train.ist_ultrawide import train_ist_ultrawide
+
+    ds = synthetic_dataset("synth-tiny")
+    cfg = sage.SAGEConfig(ds.in_feats, 16, ds.n_classes, n_layers=1,
+                          dropout=0.0)
+    tc = TrainConfig(lr=3e-2, weight_decay=0.0, n_epochs=8, num_subnet=2,
+                     iter_per_site=2)
+    res = train_ist_ultrawide(ds, cfg, tc, psize=4, batch_size=2,
+                              eval_on_cpu=True, verbose=False)
+    assert res["ultra_wide"]
+    assert res["best_val"] > 0.3, res
