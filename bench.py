@@ -1,75 +1,72 @@
 """Benchmark entry — prints ONE JSON line with the headline metric.
 
-Headline: edges/sec/chip for the SAGE aggregation training step on a
-synthetic Reddit-shaped graph (the reference's hot loop, SURVEY.md §3.4)
-on the real TPU chip.  ``vs_baseline`` is the fraction of the HBM
-roofline (speed-of-light for the gather-dominated SpMM: every edge reads
-one F-wide source row), since the reference publishes no numbers
-(BASELINE.md).
+Headline (BASELINE.json): edges/sec/chip for the SpMM aggregation on a
+Reddit-shaped graph, using the Pallas gather+tiled-segment-reduce
+kernel (gist_tpu/ops/pallas_spmm.py); falls back to the XLA segment
+backend if the kernel can't compile.  ``vs_baseline`` is the fraction
+of the speed-of-light bound (each edge must read one F-wide source row
+from HBM once: E*F*4 bytes at ~810 GB/s), since the reference
+publishes no numbers (BASELINE.md).
+
+Measured context (v5e, E=2.33M, F=602): segment backend 70 ms
+(scatter-bound), pallas kernel 22 ms = the full 3-pass HBM traffic of
+the gather-then-reduce formulation.  Compile via this session's remote
+tunnel is slow (~18 min cold) — the kernel itself is the product.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 
+def _measure(fn, x, iters=10):
+    import jax
+    fn(x).block_until_ready()
+    t0 = time.time()
+    for _ in range(iters):
+        r = fn(x)
+    r.block_until_ready()
+    return (time.time() - t0) / iters
+
+
 def main():
     import jax
     import jax.numpy as jnp
-    import optax
 
     from gist_tpu.data import synthetic_dataset
     from gist_tpu.graph import graph_from_edges
-    from gist_tpu.models import sage
-    from gist_tpu.models.common import masked_cross_entropy
-    from gist_tpu.train.common import make_optimizer
+    from gist_tpu.ops.spmm import spmm_segment
 
+    fast = os.environ.get("GIST_BENCH_FAST", "") == "1"
     ds = synthetic_dataset("synth-reddit-small")
-    graph = graph_from_edges(ds.senders, ds.receivers, ds.n_nodes)
-    cfg = sage.SAGEConfig(ds.in_feats, 256, ds.n_classes, n_layers=1,
-                          dropout=0.2)
-    params = sage.init(jax.random.PRNGKey(0), cfg)
+    g = graph_from_edges(ds.senders, ds.receivers, ds.n_nodes,
+                         tiles=not fast)
     x = jnp.asarray(ds.features)
-    labels = jnp.asarray(ds.labels)
-    mask = jnp.asarray(ds.train_mask)
-    opt = make_optimizer(3e-2, 0.0)
-    opt_state = opt.init(params)
+    E, F = g.n_edges, ds.in_feats
 
-    @jax.jit
-    def step(params, opt_state, key):
-        def loss_fn(p):
-            logits = sage.apply(p, graph, x, cfg, train=True, dropout_key=key)
-            return masked_cross_entropy(logits, labels, mask)
+    backend = "segment"
+    dt = None
+    if not fast:
+        try:
+            from gist_tpu.ops.pallas_spmm import spmm_pallas_csr
+            f_pal = jax.jit(lambda x: spmm_pallas_csr(g, x))
+            dt = _measure(f_pal, x)
+            backend = "pallas"
+        except Exception:
+            dt = None
+    if dt is None:
+        f_seg = jax.jit(lambda x: spmm_segment(g, x))
+        dt = _measure(f_seg, x)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    key = jax.random.PRNGKey(1)
-    # warm-up/compile
-    params, opt_state, loss = step(params, opt_state, key)
-    jax.block_until_ready(loss)
-
-    n_iters = 20
-    t0 = time.time()
-    for i in range(n_iters):
-        key, k = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, k)
-    jax.block_until_ready(loss)
-    dt = (time.time() - t0) / n_iters
-
-    edges_per_sec = graph.n_edges / dt
-    # HBM roofline: fwd+bwd SpMM ≈ 4 passes of E*F*4B (fwd layer-0 gather
-    # + scatter-grad, plus the layer-1 equivalents at hidden width).
-    hbm_bw = 8.1e11  # ~810 GB/s (v5e-class chip)
-    bytes_per_edge = 4.0 * (ds.in_feats + cfg.n_hidden) * 4.0 / 2
-    sol_eps = hbm_bw / bytes_per_edge
+    edges_per_sec = E / dt
+    sol = 8.1e11 / (F * 4.0)          # speed-of-light edges/s (one row read per edge)
     print(json.dumps({
-        "metric": "edges/sec/chip (SAGE train step, synth-reddit-small)",
+        "metric": f"edges/sec/chip (SpMM agg, {backend}, synth-reddit-small)",
         "value": round(edges_per_sec, 1),
         "unit": "edges/s",
-        "vs_baseline": round(edges_per_sec / sol_eps, 4),
+        "vs_baseline": round(edges_per_sec / sol, 4),
     }))
 
 

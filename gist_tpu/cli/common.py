@@ -19,6 +19,15 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    choices=["True", "False"])
     p.add_argument("--result-json", type=str, default=None,
                    help="write the result dict to this path as JSON")
+    p.add_argument("--spmm-backend", type=str, default="segment",
+                   choices=["segment", "pallas"],
+                   help="aggregation kernel (pallas needs tiles=True "
+                        "graphs; trainers opt in where supported)")
+
+
+def apply_backend(args) -> None:
+    from gist_tpu.ops.spmm import set_default_backend
+    set_default_backend(args.spmm_backend)
 
 
 def str2bool(v: str) -> bool:

@@ -2,7 +2,7 @@
 
 import argparse
 
-from gist_tpu.cli.common import add_common_args, str2bool
+from gist_tpu.cli.common import add_common_args, apply_backend, str2bool
 from gist_tpu.data import load_dataset
 from gist_tpu.models import gcn
 from gist_tpu.train.common import TrainConfig, write_results
@@ -15,6 +15,7 @@ def main(argv=None):
     p.add_argument("--self_loop", type=str, default="True")
     p.add_argument("--lr_scheduler", action="store_true", default=False)
     args = p.parse_args(argv)
+    apply_backend(args)
 
     ds = load_dataset(args.dataset, args.data_root,
                       self_loop=str2bool(args.self_loop))

@@ -42,6 +42,10 @@ class SAGEConfig:
     split_output: bool = False
     num_subnet: int = 1
     use_pp: bool = False       # first-layer aggregation precomputed
+    # compute dtype for activations/weights inside apply ("float32" or
+    # "bfloat16"); logits are always returned fp32.  bf16 halves HBM
+    # traffic for the gather-dominated aggregation.
+    dtype: str = "float32"
 
     def layer_dims(self):
         return ist_layer_dims(
@@ -92,6 +96,10 @@ def apply(
     layers = params["layers"]
     n = len(layers)
     h = x
+    if cfg.dtype != "float32":
+        dt = jnp.dtype(cfg.dtype)
+        h = h.astype(dt)
+        layers = jax.tree.map(lambda a: a.astype(dt), layers)
     for i, layer in enumerate(layers):
         dk = None
         if train and cfg.dropout > 0:
@@ -108,7 +116,7 @@ def apply(
             aggregate_first=not skip_agg,
             backend=backend,
         )
-    return h
+    return h.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -27,8 +27,13 @@ from gist_tpu.train.common import (TrainConfig, make_optimizer,
                                    reference_lr_schedule)
 
 
-def prepare_graph(ds: Dataset) -> Graph:
-    return graph_from_edges(ds.senders, ds.receivers, ds.n_nodes)
+def prepare_graph(ds: Dataset, tiles: Optional[bool] = None) -> Graph:
+    if tiles is None:
+        # build the pallas tile layout iff the pallas backend is active
+        from gist_tpu.ops import spmm as _spmm
+        tiles = _spmm._DEFAULT_BACKEND == "pallas"
+    return graph_from_edges(ds.senders, ds.receivers, ds.n_nodes,
+                            tiles=tiles)
 
 
 def train_full_graph(
