@@ -22,6 +22,7 @@ def main(argv=None):
                    help="reference spelling: --use-layernorm store_true")
     p.add_argument("--model-type", type=str, default="sage")
     p.add_argument("--cache-dir", type=str, default=None)
+    p.add_argument("--eval-cpu", action="store_true")
     args = p.parse_args(argv)
     assert args.model_type == "sage", "only sage supported (cluster_gcn.py:67)"
 
@@ -37,7 +38,7 @@ def main(argv=None):
     results = train_cluster_gcn(
         ds, cfg, tc, psize=args.psize, batch_size=args.batch_size,
         use_pp=args.use_pp, use_f1=args.use_f1, normalize=args.normalize,
-        cache_dir=args.cache_dir)
+        cache_dir=args.cache_dir, eval_cpu=args.eval_cpu)
     write_results(results, args.result_json)
     return results
 

@@ -72,12 +72,23 @@ def init(key: jax.Array, cfg: GATConfig) -> dict:
 
 
 def _multi_head_layer(graph: Graph, h: jnp.ndarray, layer: dict,
-                      negative_slope: float) -> jnp.ndarray:
+                      negative_slope: float,
+                      backend: str = "segment") -> jnp.ndarray:
     """All heads at once: z (N, heads, out) via one einsum; SDDMM /
     softmax / weighted-sum batched over the head axis; mean over heads."""
     w, attn = layer["w"], layer["attn"]
     heads, d_in, d_out = w.shape
     z = jnp.einsum("nf,hfo->nho", h, w)              # (N, H, O)
+    if backend == "pallas" and graph.tiled is not None:
+        from gist_tpu.ops.pallas_gat import gat_attention_pallas
+        outs = []
+        for hd in range(heads):
+            zh = z[:, hd, :]
+            a = zh @ attn[hd, :d_out]
+            b = zh @ attn[hd, d_out:]
+            outs.append(gat_attention_pallas(graph, zh, a, b,
+                                             negative_slope))
+        return jnp.mean(jnp.stack(outs), axis=0)
     # per-head scores: (E, H)
     src = jnp.einsum("nho,ho->nh", z, attn[:, :d_out])
     dst = jnp.einsum("nho,ho->nh", z, attn[:, d_out:])
@@ -107,6 +118,7 @@ def apply(
     last (the reference applies F.elu unconditionally)."""
     h = x
     for layer in params["layers"]:
-        h = _multi_head_layer(graph, h, layer, negative_slope)
+        h = _multi_head_layer(graph, h, layer, negative_slope,
+                              backend=backend or "segment")
         h = jax.nn.elu(h)
     return h

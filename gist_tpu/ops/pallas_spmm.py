@@ -52,12 +52,12 @@ def _cdiv(a: int, b: int) -> int:
 
 def _reduce_kernel(tile_offsets_ref,    # SMEM (num_tiles+1,) scalar prefetch
                    recv_ref,            # VMEM (1, 1, C) current receiver block
-                   msgs_ref,            # VMEM (C, F) current message block
-                   out_ref,             # VMEM (TN, F) dst tile (revisited)
-                   acc_ref,             # VMEM scratch (TN, F) fp32
+                   msgs_ref,            # VMEM (C, TF) current message block
+                   out_ref,             # VMEM (TN, TF) dst tile (revisited)
+                   acc_ref,             # VMEM scratch (TN, TF) fp32
                    *, TN: int, C: int):
     i = pl.program_id(0)
-    c = pl.program_id(1)
+    c = pl.program_id(2)
     nchunks = (tile_offsets_ref[i + 1] - tile_offsets_ref[i]) // C
 
     @pl.when(c == 0)
@@ -69,39 +69,50 @@ def _reduce_kernel(tile_offsets_ref,    # SMEM (num_tiles+1,) scalar prefetch
         local = recv_ref[0, 0].astype(jnp.int32) - i * TN       # (C,)
         rows = jax.lax.broadcasted_iota(jnp.int32, (TN, C), 0)
         one_hot = (rows == local[None, :]).astype(jnp.bfloat16)  # (TN, C)
-        # The MXU runs fp32 matmuls at bf16 precision; a plain dot loses
-        # ~1e-2 relative accuracy.  The one-hot factor is bf16-exact, so
-        # split the messages into hi + lo bf16 parts: two full-speed
-        # bf16 passes recover ~1e-5 relative error with fp32 accumulate.
-        msgs = msgs_ref[...].astype(jnp.float32)
-        hi = msgs.astype(jnp.bfloat16)
-        lo = (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        acc_ref[...] += (
-            jax.lax.dot(one_hot, hi, preferred_element_type=jnp.float32)
-            + jax.lax.dot(one_hot, lo, preferred_element_type=jnp.float32))
+        msgs = msgs_ref[...]
+        if msgs.dtype == jnp.bfloat16:
+            acc_ref[...] += jax.lax.dot(
+                one_hot, msgs, preferred_element_type=jnp.float32)
+        else:
+            # The MXU runs fp32 matmuls at bf16 precision; a plain dot
+            # loses ~1e-2 relative accuracy.  The one-hot factor is
+            # bf16-exact, so split the messages into hi + lo bf16 parts:
+            # two full-speed bf16 passes recover ~1e-5 relative error
+            # with fp32 accumulate.
+            msgs = msgs.astype(jnp.float32)
+            hi = msgs.astype(jnp.bfloat16)
+            lo = (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc_ref[...] += (
+                jax.lax.dot(one_hot, hi, preferred_element_type=jnp.float32)
+                + jax.lax.dot(one_hot, lo, preferred_element_type=jnp.float32))
 
-    @pl.when(c == pl.num_programs(1) - 1)
+    @pl.when(c == pl.num_programs(2) - 1)
     def _():
         out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_rows", "chunk",
-                                             "max_chunks", "n_nodes"))
+                                             "max_chunks", "n_nodes",
+                                             "f_tile"))
 def _spmm_tiled(tile_offsets, senders, receivers, x, *,
-                tile_rows: int, chunk: int, max_chunks: int, n_nodes: int):
+                tile_rows: int, chunk: int, max_chunks: int, n_nodes: int,
+                f_tile: int):
     TN, C = tile_rows, chunk
     f = x.shape[1]
     num_tiles = tile_offsets.shape[0] - 1
     e_t = int(senders.shape[0])
+    f_tiles = _cdiv(f, f_tile)
+    if f % f_tile:
+        x = jnp.pad(x, ((0, 0), (0, f_tiles * f_tile - f)))
 
     # Phase 1: XLA gather into tile-aligned edge order.
-    msgs = jnp.take(x, senders, axis=0)              # (E_t, F)
+    msgs = jnp.take(x, senders, axis=0)              # (E_t, F_pad)
     # 3-D so the (1, C) block's last-two dims equal the array dims
     # (Pallas TPU blocking constraint: last two dims divisible by
     # (8, 128) OR equal to the array's)
     recv3d = receivers.reshape(e_t // C, 1, C)
 
-    def chunk_index(i, c, offs):
+    def chunk_index(i, fi, c, offs):
         # clamp into this tile's valid chunk range so skipped iterations
         # repeat the previous block index (pipeline skips the re-fetch)
         first = offs[i] // C
@@ -110,26 +121,31 @@ def _spmm_tiled(tile_offsets, senders, receivers, x, *,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(num_tiles, max_chunks),
+        grid=(num_tiles, f_tiles, max_chunks),
         in_specs=[
-            pl.BlockSpec((1, 1, C),
-                         lambda i, c, offs: (chunk_index(i, c, offs), 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, f), lambda i, c, offs: (chunk_index(i, c, offs), 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, C),
+                lambda i, fi, c, offs: (chunk_index(i, fi, c, offs), 0, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (C, f_tile),
+                lambda i, fi, c, offs: (chunk_index(i, fi, c, offs), fi),
+                memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TN, f), lambda i, c, offs: (i, 0),
+        out_specs=pl.BlockSpec((TN, f_tile),
+                               lambda i, fi, c, offs: (i, fi),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((TN, f), jnp.float32),
+            pltpu.VMEM((TN, f_tile), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         functools.partial(_reduce_kernel, TN=TN, C=C),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles * TN, f), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((num_tiles * TN, f_tiles * f_tile),
+                                       x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * e_t * f * TN,
@@ -137,22 +153,29 @@ def _spmm_tiled(tile_offsets, senders, receivers, x, *,
             transcendentals=0,
         ),
     )(tile_offsets, recv3d, msgs)
-    return out[:n_nodes]
+    return out[:n_nodes, :f]
+
+
+def _pick_f_tile(f: int, chunk: int, tile_rows: int, itemsize: int) -> int:
+    """Largest feature tile keeping double-buffered chunk blocks + acc
+    within ~12 MiB of VMEM."""
+    budget = 12 * 2 ** 20
+    ft = f
+    while ft > 128 and (2 * chunk * ft * itemsize
+                        + 2 * tile_rows * ft * 4) > budget:
+        ft = (ft + 1) // 2
+    return max(128, min(ft, f))
 
 
 def _run_tiled(t: TiledCSR, x: jnp.ndarray, n_nodes: int) -> jnp.ndarray:
-    f = x.shape[1]
-    # pipeline holds 2 buffers of each block + acc + out tile
-    vmem_need = (2 * t.chunk * f + 2 * t.tile_rows * f) * 4
-    if vmem_need > 13 * 2 ** 20:
-        raise NotImplementedError(
-            f"feature width {f} needs {vmem_need >> 20} MiB VMEM; "
-            "feature-tiling not implemented yet — use the segment backend")
     if t.max_chunks == 0:
-        return jnp.zeros((n_nodes, f), x.dtype)
+        return jnp.zeros((n_nodes, x.shape[1]), x.dtype)
+    f_tile = _pick_f_tile(x.shape[1], t.chunk, t.tile_rows,
+                          x.dtype.itemsize)
     return _spmm_tiled(t.tile_offsets, t.senders, t.receivers, x,
                        tile_rows=t.tile_rows, chunk=t.chunk,
-                       max_chunks=t.max_chunks, n_nodes=n_nodes)
+                       max_chunks=t.max_chunks, n_nodes=n_nodes,
+                       f_tile=f_tile)
 
 
 @jax.custom_vjp

@@ -35,6 +35,7 @@ def train_cluster_gcn(
     cache_dir: Optional[str] = None,
     model=sage,
     eval_every: int = 1,
+    eval_cpu: bool = False,
     verbose: bool = True,
 ) -> dict:
     if normalize:
@@ -64,13 +65,25 @@ def train_cluster_gcn(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    # --eval-cpu: big models evaluate the full graph on the host
+    # (cluster_gcn.py:110-127); otherwise on the accelerator
+    eval_device = jax.devices("cpu")[0] if eval_cpu else None
+    cpu_data = {}
+
     @jax.jit
     def infer_full(params):
         # eval never uses the use_pp skip (modules.py:133 train-only)
         return model.apply(params, full_graph, fx, model_cfg)
 
     def evaluate(params):
-        logits = infer_full(params)
+        if eval_device is not None:
+            if not cpu_data:
+                cpu_data["g"] = jax.device_put(full_graph, eval_device)
+                cpu_data["x"] = jax.device_put(fx, eval_device)
+            p = jax.device_put(params, eval_device)
+            logits = model.apply(p, cpu_data["g"], cpu_data["x"], model_cfg)
+        else:
+            logits = infer_full(params)
         if use_f1:
             l = np.asarray(logits)
             return (micro_f1(l, ds.labels, ds.val_mask),

@@ -102,6 +102,7 @@ def train_ist_cluster(
     model=sage,
     kind: str = "sage",
     mesh=None,
+    checkpoint_dir: Optional[str] = None,
     verbose: bool = True,
 ) -> dict:
     K = tc.num_subnet
@@ -156,11 +157,39 @@ def train_ist_cluster(
     drop_key = jax.random.PRNGKey(tc.dropout_seed)
     total_time = 0.0
     total_edges = 0
-    val_accs, test_accs, losses = [], [], []
+    val_accs, test_accs, losses, eval_times = [], [], [], []
     steps_per_eval = max(len(sampler), 1)
     steps_done = 0
     next_eval = steps_per_eval
-    for rnd in range(n_rounds):
+    start_round = 0
+
+    if checkpoint_dir:
+        from gist_tpu.train.checkpoint import (latest_round_dir,
+                                               load_checkpoint,
+                                               save_checkpoint)
+        ck = latest_round_dir(checkpoint_dir)
+        if ck is not None:
+            state = load_checkpoint(ck)
+            full_params = state["params"]
+            part_key = jnp.asarray(state["part_key"])
+            drop_key = jnp.asarray(state["drop_key"])
+            start_round = int(state["round"]) + 1
+            if verbose:
+                print(f"resumed from {ck} (round {start_round})",
+                      flush=True)
+            # replay the sampler's RNG so cluster order continues
+            for _ in range(start_round):
+                collector.collect()
+
+    if start_round >= n_rounds:
+        # fully-trained checkpoint: just evaluate it
+        va, ta = evaluate(full_params)
+        val_accs.append(va)
+        test_accs.append(ta)
+        eval_times.append(0.0)
+        losses.append(float("nan"))
+
+    for rnd in range(start_round, n_rounds):
         batches = collector.collect()
         stacked = _stack_batches(batches)
         part_key, sk = jax.random.split(part_key)
@@ -181,9 +210,17 @@ def train_ist_cluster(
             va, ta = evaluate(full_params)
             val_accs.append(va)
             test_accs.append(ta)
+            eval_times.append(total_time)   # time-to-accuracy curve
             if verbose:
                 print(f"round {rnd}/{n_rounds}: loss {losses[-1]:.4f} "
                       f"val {va:.4f}", flush=True)
+            if checkpoint_dir:
+                import os
+                save_checkpoint(
+                    os.path.join(checkpoint_dir, f"round_{rnd}"),
+                    {"params": full_params, "round": rnd,
+                     "part_key": np.asarray(part_key),
+                     "drop_key": np.asarray(drop_key)})
 
     results = {
         "dataset": ds.name, "num_subnet": K, "train_time": total_time,
@@ -191,6 +228,7 @@ def train_ist_cluster(
         "last_val": val_accs[-1], "best_val": max(val_accs),
         "last_test": test_accs[-1], "best_test": max(test_accs),
         "val_accs": val_accs, "test_accs": test_accs, "losses": losses,
+        "eval_times": eval_times,
     }
     if verbose:
         print(f"Training Time: {total_time:.4f}", flush=True)

@@ -68,3 +68,32 @@ def test_pallas_spmm_grad(rng):
             lambda x: jnp.sum(pallas_spmm.spmm_pallas_csr(g, x) * w))(x)
     np.testing.assert_allclose(np.asarray(grad), A.T @ w, rtol=1e-4,
                                atol=1e-4)
+
+
+def test_pallas_spmm_wide_features_tiled(rng):
+    """F wide enough to force feature tiling (f_tile < F)."""
+    from gist_tpu.ops import pallas_spmm as PS
+    n, f = 64, 512
+    s, r = make_random_graph(rng, n, 400)
+    g = G.graph_from_edges(s, r, n, tiles=True)
+    # force small f_tile by monkeypatching the picker
+    orig = PS._pick_f_tile
+    PS._pick_f_tile = lambda *a, **k: 128
+    try:
+        x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+        want = np.asarray(spmm_segment(g, x))
+        got = np.asarray(run_interpret(g, x))
+    finally:
+        PS._pick_f_tile = orig
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_spmm_bf16(rng):
+    n, f = 64, 128
+    s, r = make_random_graph(rng, n, 300)
+    g = G.graph_from_edges(s, r, n, tiles=True)
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    want = np.asarray(spmm_segment(g, x))
+    got = np.asarray(run_interpret(g, x.astype(jnp.bfloat16)))
+    np.testing.assert_allclose(got.astype(np.float32), want, rtol=0.05,
+                               atol=0.05)
