@@ -14,6 +14,11 @@ def main(argv=None):
     add_common_args(p)
     p.add_argument("--self_loop", type=str, default="True")
     p.add_argument("--lr_scheduler", action="store_true", default=False)
+    p.add_argument("--scan-epochs", type=int, default=0,
+                   help="fuse this many epochs per jitted call (0 = "
+                        "per-epoch dispatch, reference-style)")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="write a jax.profiler trace here")
     args = p.parse_args(argv)
     apply_backend(args)
 
@@ -27,7 +32,10 @@ def main(argv=None):
     tc = TrainConfig(lr=args.lr, weight_decay=args.weight_decay,
                      n_epochs=args.n_epochs, lr_schedule=args.lr_scheduler,
                      seed=args.rnd_seed)
-    results = train_full_graph(ds, cfg, tc)
+    from gist_tpu.utils import profile_trace
+    with profile_trace(args.profile_dir):
+        results = train_full_graph(ds, cfg, tc,
+                                   scan_epochs=args.scan_epochs)
     write_results(results, args.result_json)
     return results
 

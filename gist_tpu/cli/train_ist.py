@@ -23,6 +23,9 @@ def main(argv=None):
     p.add_argument("--split_input", type=str, default="True")
     p.add_argument("--self_loop", type=str, default="True")
     p.add_argument("--use_random_proj", type=str, default="True")
+    p.add_argument("--fused", action="store_true",
+                   help="jit one whole IST round per call (dispatch + "
+                        "scan + merge + eval); metrics become per-round")
     args = p.parse_args(argv)
 
     assert str2bool(args.use_ist), "Should train with IST (train_ist.py:289)"
@@ -48,7 +51,7 @@ def main(argv=None):
         iter_per_site=args.iter_per_site,
         split_input=str2bool(args.split_input),
         split_output=str2bool(args.split_output))
-    results = train_ist_simulation(ds, cfg, tc)
+    results = train_ist_simulation(ds, cfg, tc, fused=args.fused)
     write_results(results, args.result_json)
     return results
 

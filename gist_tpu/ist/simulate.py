@@ -41,6 +41,29 @@ def train_ist_simulation(
     *,
     model=gcn,
     kind: str = "gcn",
+    fused: bool = False,
+    verbose: bool = True,
+) -> dict:
+    """``fused=True`` jits one whole IST round (dispatch -> lax.scan of
+    ``iter_per_site`` parallel-subnet steps -> merge -> eval) per call,
+    reducing host dispatches from n_epochs*4 to n_rounds; metrics are
+    then per round rather than per epoch (the per-epoch numbers the
+    reference prints between merges are stale reads of the same model).
+    """
+    if fused:
+        return _train_ist_fused(ds, model_cfg, tc, model=model, kind=kind,
+                                verbose=verbose)
+    return _train_ist_loop(ds, model_cfg, tc, model=model, kind=kind,
+                           verbose=verbose)
+
+
+def _train_ist_loop(
+    ds: Dataset,
+    model_cfg,
+    tc: TrainConfig,
+    *,
+    model=gcn,
+    kind: str = "gcn",
     verbose: bool = True,
 ) -> dict:
     K = tc.num_subnet
@@ -133,6 +156,110 @@ def train_ist_simulation(
         "mean_epoch_s": mean_dur,
         "kteps": kteps,
         "train_time": mean_dur * max(len(durs), 1),
+    }
+    if verbose:
+        print(f"Final Test Accuracy: {test_accs[-1]:.4f}")
+        print(f"Best Val Accuracy: {max(val_accs):.4f}")
+        print(f"Best Test Accuracy: {max(test_accs):.4f}")
+        print(f"ETputs(KTEPS) {kteps:.2f}")
+    return results
+
+
+def _train_ist_fused(
+    ds: Dataset,
+    model_cfg,
+    tc: TrainConfig,
+    *,
+    model=gcn,
+    kind: str = "gcn",
+    verbose: bool = True,
+) -> dict:
+    K = tc.num_subnet
+    graph = graph_from_edges(ds.senders, ds.receivers, ds.n_nodes)
+    x = jnp.asarray(ds.features)
+    labels = jnp.asarray(ds.labels)
+    train_mask = jnp.asarray(ds.train_mask)
+    val_mask = jnp.asarray(ds.val_mask)
+    test_mask = jnp.asarray(ds.test_mask)
+
+    full_params = model.init(jax.random.PRNGKey(tc.seed), model_cfg)
+    sub_cfg = model_cfg.sub_config(
+        split_input=tc.split_input, split_output=tc.split_output,
+        num_subnet=K)
+    sizes = boundary_sizes(
+        model_cfg.in_feats, model_cfg.n_hidden, model_cfg.n_layers,
+        split_input=tc.split_input, split_output=tc.split_output)
+    # lr scales updates inside the scan (optimizer built at lr=1)
+    opt = make_optimizer(1.0, tc.weight_decay)
+
+    @partial(jax.jit, static_argnames=("n_steps",))
+    def ist_round(full_params, part_key, drop_key, lr, n_steps):
+        bnds = sample_boundaries(part_key, sizes, K)
+        stacked = dispatch_all(full_params, bnds, K, kind)
+        opt_state = opt.init(stacked)
+
+        def step(carry, key):
+            stacked, opt_state = carry
+            keys = jax.random.split(key, K)
+
+            def loss_fn(sp):
+                def per_subnet(sub_p, s, k):
+                    xin = (x if bnds[0] is None
+                           else jnp.take(x, bnds[0][s], axis=1))
+                    logits = model.apply(sub_p, graph, xin, sub_cfg,
+                                         train=True, dropout_key=k)
+                    return masked_cross_entropy(logits, labels, train_mask)
+
+                losses = jax.vmap(per_subnet)(sp, jnp.arange(K), keys)
+                return jnp.sum(losses), losses
+
+            (_, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(stacked)
+            updates, opt_state = opt.update(grads, opt_state, stacked)
+            updates = jax.tree.map(lambda u: u * lr, updates)
+            stacked = optax.apply_updates(stacked, updates)
+            return (stacked, opt_state), jnp.mean(losses)
+
+        step_keys = jax.random.split(drop_key, n_steps)
+        (stacked, _), losses = jax.lax.scan(
+            step, (stacked, opt_state), step_keys)
+        full_params = merge(full_params, bnds, stacked, K, kind)
+        logits = model.apply(full_params, graph, x, model_cfg)
+        va = masked_accuracy(logits, labels, val_mask)
+        ta = masked_accuracy(logits, labels, test_mask)
+        return full_params, losses, va, ta
+
+    part_key = jax.random.PRNGKey(tc.seed + 1)
+    drop_key = jax.random.PRNGKey(tc.dropout_seed)
+    n_rounds = max(tc.n_epochs // tc.iter_per_site, 1)
+    tail = tc.n_epochs - n_rounds * tc.iter_per_site
+
+    durs, val_accs, test_accs, losses_hist = [], [], [], []
+    rounds = [tc.iter_per_site] * n_rounds + ([tail] if tail > 0 else [])
+    for rnd, n_steps in enumerate(rounds):
+        epoch0 = rnd * tc.iter_per_site
+        lr = reference_lr_schedule(tc.lr, tc.n_epochs, epoch0)
+        part_key, pk = jax.random.split(part_key)
+        drop_key, dk = jax.random.split(drop_key)
+        t0 = time.time()
+        full_params, rl, va, ta = ist_round(
+            full_params, pk, dk, jnp.asarray(lr), n_steps)
+        jax.block_until_ready(full_params)
+        if rnd > 0:
+            durs.append((time.time() - t0) / n_steps)
+        val_accs.append(float(va))
+        test_accs.append(float(ta))
+        losses_hist.append(float(jnp.mean(rl)))
+
+    mean_dur = float(np.mean(durs)) if durs else 0.0
+    kteps = graph.n_edges / mean_dur / 1000 if mean_dur else 0.0
+    results = {
+        "dataset": ds.name, "num_subnet": K, "fused": True,
+        "final_test_acc": test_accs[-1], "best_val_acc": max(val_accs),
+        "best_test_acc": max(test_accs), "val_accs": val_accs,
+        "test_accs": test_accs, "losses": losses_hist,
+        "mean_epoch_s": mean_dur, "kteps": kteps,
+        "train_time": mean_dur * tc.n_epochs,
     }
     if verbose:
         print(f"Final Test Accuracy: {test_accs[-1]:.4f}")

@@ -56,3 +56,30 @@ def test_reference_lr_schedule():
     assert reference_lr_schedule(1.0, 100, 49) == 1.0
     assert reference_lr_schedule(1.0, 100, 50) == 0.1
     assert np.isclose(reference_lr_schedule(1.0, 100, 75), 0.01)
+
+
+def test_scanned_trainer_matches_loop():
+    """scan_epochs path == per-epoch loop (same seeds, no dropout)."""
+    ds = synthetic_dataset("synth-tiny")
+    cfg = gcn.GCNConfig(ds.in_feats, 16, ds.n_classes, n_layers=1,
+                        dropout=0.0)
+    tc = TrainConfig(lr=1e-2, weight_decay=5e-4, n_epochs=10,
+                     lr_schedule=True)
+    r_loop = train_full_graph(ds, cfg, tc, verbose=False)
+    r_scan = train_full_graph(ds, cfg, tc, scan_epochs=4, verbose=False)
+    np.testing.assert_allclose(r_scan["losses"], r_loop["losses"],
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(r_scan["val_accs"], r_loop["val_accs"],
+                               atol=1e-6)
+
+
+def test_fused_ist_learns():
+    ds = synthetic_dataset("synth-tiny")
+    cfg = gcn.GCNConfig(ds.in_feats, 16, ds.n_classes, n_layers=2,
+                        dropout=0.0)
+    tc = TrainConfig(lr=1e-2, weight_decay=5e-4, n_epochs=24,
+                     num_subnet=2, iter_per_site=4, split_input=True,
+                     split_output=True)
+    res = train_ist_simulation(ds, cfg, tc, fused=True, verbose=False)
+    assert res["fused"] and res["best_val_acc"] > 0.4, res
+    assert len(res["val_accs"]) == 6  # one eval per round
