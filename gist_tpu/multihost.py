@@ -30,8 +30,13 @@ def init_multihost(coordinator: Optional[str] = None,
     explicit = coordinator is not None
     cluster_env = any(v in os.environ for v in (
         "COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
-        "TPU_WORKER_HOSTNAMES", "JAX_COORDINATOR_ADDRESS"))
+        "JAX_COORDINATOR_ADDRESS"))
     if not explicit and not cluster_env:
+        return False
+    from jax._src import xla_bridge
+    if xla_bridge.backends_are_initialized():
+        import warnings
+        warnings.warn("init_multihost called after backend init; skipping")
         return False
     kwargs = {}
     if coordinator is not None:

@@ -95,11 +95,13 @@ def train_cluster_gcn(
     total_time = 0.0
     total_edges = 0
     val_accs, test_accs, losses = [], [], []
+    from gist_tpu.utils import prefetch
+
     for epoch in range(tc.n_epochs):
         t0 = time.time()
         epoch_loss = 0.0
         nb = 0
-        for batch in sampler:
+        for batch in prefetch(sampler):
             key, dk = jax.random.split(key)
             params, opt_state, loss = train_step(params, opt_state, batch, dk)
             epoch_loss += float(loss)

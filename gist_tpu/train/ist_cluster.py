@@ -189,8 +189,16 @@ def train_ist_cluster(
         eval_times.append(0.0)
         losses.append(float("nan"))
 
+    # overlap next round's host-side batch building with device compute
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=1)
+    pending = pool.submit(collector.collect) if start_round < n_rounds \
+        else None
+
     for rnd in range(start_round, n_rounds):
-        batches = collector.collect()
+        batches = pending.result()
+        pending = pool.submit(collector.collect) \
+            if rnd + 1 < n_rounds else None
         stacked = _stack_batches(batches)
         part_key, sk = jax.random.split(part_key)
         bnds = sample_boundaries(sk, sizes, K)

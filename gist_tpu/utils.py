@@ -57,6 +57,33 @@ class StepTimer:
         return edges_per_step / self.mean if self.mean else 0.0
 
 
+def prefetch(iterable, depth: int = 2):
+    """Run an iterator in a background thread, keeping ``depth`` items
+    ready — overlaps host-side batch construction (subgraph extraction,
+    padding) with device compute.  The reference builds every cluster
+    batch synchronously between steps (cluster_gcn.py:92-95)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    END = object()
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+        finally:
+            q.put(END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is END:
+            break
+        yield item
+
+
 class JsonlLogger:
     """Append-a-JSON-object-per-line logger — the machine-readable
     replacement for the reference's file-append Logger (utils.py:12-29)

@@ -44,3 +44,9 @@ def test_load_dataset_dispatch():
         load_dataset("nope")
     with pytest.raises(FileNotFoundError):
         load_dataset("cora", root="/nonexistent")
+
+
+def test_multihost_noop_single_host():
+    from gist_tpu.multihost import init_multihost
+    # no cluster env, no explicit coordinator -> no-op
+    assert init_multihost() is False
