@@ -5,5 +5,7 @@ These replace the reference's native DGL kernels (SURVEY.md §2.3):
 :func:`sddmm_concat` + :func:`segment_softmax`.
 """
 
-from gist_tpu.ops.spmm import aggregate, spmm_segment, spmm_pallas, set_default_backend
+from gist_tpu.ops.spmm import (aggregate, spmm_segment,
+                               spmm_segment_chunked, spmm_pallas,
+                               set_default_backend)
 from gist_tpu.ops.segment import segment_softmax, sddmm_concat, segment_weighted_sum

@@ -50,6 +50,38 @@ def spmm_segment(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def spmm_segment_chunked(graph: Graph, x: jnp.ndarray,
+                         edge_chunk: int = 4 * 1024 * 1024) -> jnp.ndarray:
+    """Memory-bounded aggregation for huge graphs: both the plain
+    segment path and the pallas path materialize the gathered (E, F)
+    messages, which for Amazon2M-scale edge counts (>100M) exceeds HBM.
+    This version scans edge chunks, accumulating partial segment sums —
+    peak extra memory = edge_chunk * F.
+    """
+    e_pad = graph.n_edges_padded
+    if e_pad <= edge_chunk:
+        return spmm_segment(graph, x)
+    n_chunks = -(-e_pad // edge_chunk)
+    pad = n_chunks * edge_chunk - e_pad
+    senders = jnp.concatenate(
+        [graph.senders, jnp.zeros((pad,), graph.senders.dtype)])
+    receivers = jnp.concatenate(
+        [graph.receivers,
+         jnp.full((pad,), graph.n_nodes, graph.receivers.dtype)])
+    senders = senders.reshape(n_chunks, edge_chunk)
+    receivers = receivers.reshape(n_chunks, edge_chunk)
+
+    def body(acc, chunk):
+        s, r = chunk
+        acc = acc + jax.ops.segment_sum(
+            jnp.take(x, s, axis=0), r, num_segments=graph.n_nodes)
+        return acc, None
+
+    init = jnp.zeros((graph.n_nodes, x.shape[1]), x.dtype)
+    out, _ = jax.lax.scan(body, init, (senders, receivers))
+    return out
+
+
 def spmm_pallas(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
     from gist_tpu.ops.pallas_spmm import spmm_pallas_csr
 
@@ -70,9 +102,9 @@ def aggregate(
         try:
             out = spmm_pallas(graph, x)
         except NotImplementedError:
-            out = spmm_segment(graph, x)
+            out = spmm_segment_chunked(graph, x)
     else:
-        out = spmm_segment(graph, x)
+        out = spmm_segment_chunked(graph, x)
     if norm is not None:
         if norm.ndim == 1:
             norm = norm[:, None]

@@ -129,3 +129,25 @@ def test_subgraph_relabel():
     ss, rr, ids = G.subgraph(s, r, [0, 1, 2], 5)
     # edges kept: 0->1, 1->2, 0->2 (both ends in {0,1,2})
     assert sorted(zip(ss.tolist(), rr.tolist())) == [(0, 1), (0, 2), (1, 2)]
+
+
+def test_spmm_chunked_matches_unchunked(rng):
+    g, s, r = build(rng, n_nodes=60, n_edges=500)
+    x = jnp.asarray(rng.standard_normal((g.n_nodes, 8)).astype(np.float32))
+    from gist_tpu.ops import spmm_segment_chunked
+    want = np.asarray(spmm_segment(g, x))
+    got = np.asarray(spmm_segment_chunked(g, x, edge_chunk=64))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_spmm_chunked_grad(rng):
+    from conftest import dense_adj
+    g, s, r = build(rng, n_nodes=30, n_edges=200)
+    A = dense_adj(s, r, g.n_nodes)
+    x = jnp.asarray(rng.standard_normal((g.n_nodes, 4)).astype(np.float32))
+    w = rng.standard_normal((g.n_nodes, 4)).astype(np.float32)
+    from gist_tpu.ops import spmm_segment_chunked
+    grad = jax.grad(lambda x: jnp.sum(
+        spmm_segment_chunked(g, x, edge_chunk=64) * w))(x)
+    np.testing.assert_allclose(np.asarray(grad), A.T @ w, rtol=1e-4,
+                               atol=1e-4)

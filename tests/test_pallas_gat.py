@@ -67,3 +67,19 @@ def test_gat_kernel_empty_rows(rng):
     mask = np.ones(n, bool)
     mask[[5, 6]] = False
     np.testing.assert_allclose(out[mask], 0.0, atol=1e-7)
+
+
+def test_gat_model_pallas_backend_matches_segment(rng):
+    """gat.apply(backend='pallas') == backend='segment' on a tiled graph."""
+    from gist_tpu.models import gat as gat_model
+    n = 60
+    s, r = make_random_graph(rng, n, 300)
+    g = G.graph_from_edges(s, r, n, tiles=True)
+    cfg = gat_model.GATConfig(in_feats=8, n_hidden=8, n_classes=3,
+                              n_layers=2, n_heads=2)
+    params = gat_model.init(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    want = np.asarray(gat_model.apply(params, g, x, cfg))
+    got = np.asarray(run_interpret(
+        lambda: gat_model.apply(params, g, x, cfg, backend="pallas")))
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
