@@ -96,10 +96,13 @@ def _gat_tiled(tile_offsets, senders, receivers, z, edge_scores, *,
     recv3d = receivers.reshape(e_t // C, 1, C)
     scores3d = edge_scores.reshape(e_t // C, 1, C)
 
+    n_blocks = e_t // C
+
     def chunk_index(i, c, offs):
+        # global clamp: empty trailing tiles would index past the end
         first = offs[i] // C
         last = jnp.maximum(offs[i + 1] // C - 1, first)
-        return jnp.minimum(first + c, last)
+        return jnp.minimum(jnp.minimum(first + c, last), n_blocks - 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -112,12 +112,16 @@ def _spmm_tiled(tile_offsets, senders, receivers, x, *,
     # (8, 128) OR equal to the array's)
     recv3d = receivers.reshape(e_t // C, 1, C)
 
+    n_blocks = e_t // C
+
     def chunk_index(i, fi, c, offs):
         # clamp into this tile's valid chunk range so skipped iterations
-        # repeat the previous block index (pipeline skips the re-fetch)
+        # repeat the previous block index (pipeline skips the re-fetch);
+        # empty TRAILING tiles would otherwise index one block past the
+        # end (offs[i] == offs[i+1] == E_t), hence the global clamp
         first = offs[i] // C
         last = jnp.maximum(offs[i + 1] // C - 1, first)
-        return jnp.minimum(first + c, last)
+        return jnp.minimum(jnp.minimum(first + c, last), n_blocks - 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -83,3 +83,20 @@ def test_gat_model_pallas_backend_matches_segment(rng):
     got = np.asarray(run_interpret(
         lambda: gat_model.apply(params, g, x, cfg, backend="pallas")))
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+def test_gat_kernel_empty_trailing_tiles(rng):
+    """Receivers confined to the first tile: trailing tiles have zero
+    edges and must not index past the edge blocks."""
+    n, d = 256, 8
+    s = rng.integers(0, n, 150)
+    r = rng.integers(0, 100, 150)
+    g = G.graph_from_edges(s, r, n, tiles=True)
+    z = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    a = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    want = np.asarray(_xla_reference(g, z, a, b, 0.01))
+    got = np.asarray(run_interpret(
+        lambda: gat_attention_pallas(g, z, a, b, 0.01)))
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(got[128:], 0.0, atol=1e-6)

@@ -97,3 +97,17 @@ def test_pallas_spmm_bf16(rng):
     got = np.asarray(run_interpret(g, x.astype(jnp.bfloat16)))
     np.testing.assert_allclose(got.astype(np.float32), want, rtol=0.05,
                                atol=0.05)
+
+
+def test_pallas_spmm_empty_tiles(rng):
+    """Dst tiles with zero edges (nodes 128..255 receive nothing) must
+    produce zero rows and not disturb their neighbors."""
+    n, f = 256, 8
+    s = rng.integers(0, n, 200)
+    r = rng.integers(0, 100, 200)   # receivers only in tile 0
+    g = G.graph_from_edges(s, r, n, tiles=True)
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    want = np.asarray(spmm_segment(g, x))
+    got = np.asarray(run_interpret(g, x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got[128:], 0.0, atol=1e-6)
