@@ -23,6 +23,9 @@ def main(argv=None):
     p.add_argument("--model-type", type=str, default="sage")
     p.add_argument("--cache-dir", type=str, default=None)
     p.add_argument("--eval-cpu", action="store_true")
+    p.add_argument("--scan-batches", action="store_true",
+                   help="stack each epoch's batches and lax.scan them "
+                        "(one dispatch per epoch)")
     args = p.parse_args(argv)
     assert args.model_type == "sage", "only sage supported (cluster_gcn.py:67)"
 
@@ -38,7 +41,8 @@ def main(argv=None):
     results = train_cluster_gcn(
         ds, cfg, tc, psize=args.psize, batch_size=args.batch_size,
         use_pp=args.use_pp, use_f1=args.use_f1, normalize=args.normalize,
-        cache_dir=args.cache_dir, eval_cpu=args.eval_cpu)
+        cache_dir=args.cache_dir, eval_cpu=args.eval_cpu,
+        scan_batches=args.scan_batches)
     write_results(results, args.result_json)
     return results
 

@@ -31,6 +31,7 @@ class GCNConfig:
     split_input: bool = False
     split_output: bool = False
     num_subnet: int = 1
+    dtype: str = "float32"     # compute dtype; logits return fp32
 
     def layer_dims(self):
         return ist_layer_dims(
@@ -71,6 +72,10 @@ def apply(
     layers = params["layers"]
     n = len(layers)
     h = x
+    if cfg.dtype != "float32":
+        dt = jnp.dtype(cfg.dtype)
+        h = h.astype(dt)
+        layers = jax.tree.map(lambda a: a.astype(dt), layers)
     for i, layer in enumerate(layers):
         if i != 0 and train and cfg.dropout > 0:
             dropout_key, dk = jax.random.split(dropout_key)
@@ -81,4 +86,4 @@ def apply(
                        backend=backend)
         if not is_last and cfg.use_layernorm:
             h = whole_tensor_layer_norm(h)
-    return h
+    return h.astype(jnp.float32)

@@ -36,8 +36,12 @@ def train_cluster_gcn(
     model=sage,
     eval_every: int = 1,
     eval_cpu: bool = False,
+    scan_batches: bool = False,
     verbose: bool = True,
 ) -> dict:
+    """``scan_batches=True`` stacks each epoch's cluster batches
+    (re-padded to one bucket) and runs them in a single lax.scan jit —
+    one dispatch per epoch instead of one per batch."""
     if normalize:
         ds.normalize_features()
     sampler = ClusterSampler(ds, psize, batch_size, use_pp=use_pp,
@@ -64,6 +68,27 @@ def train_cluster_gcn(
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    @jax.jit
+    def train_epoch_scanned(params, opt_state, stacked, key):
+        def body(carry, batch):
+            params, opt_state, key = carry
+            key, dk = jax.random.split(key)
+            graph, feats, labels, mask = batch
+
+            def loss_fn(p):
+                logits = model.apply(p, graph, feats, model_cfg,
+                                     train=True, dropout_key=dk)
+                return masked_cross_entropy(logits, labels, mask)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), loss
+
+        (params, opt_state, _), losses = jax.lax.scan(
+            body, (params, opt_state, key), stacked)
+        return params, opt_state, losses
 
     # --eval-cpu: big models evaluate the full graph on the host
     # (cluster_gcn.py:110-127); otherwise on the accelerator
@@ -97,16 +122,36 @@ def train_cluster_gcn(
     val_accs, test_accs, losses = [], [], []
     from gist_tpu.utils import prefetch
 
+    from gist_tpu.train.ist_cluster import _RoundCollector, _stack_batches
+    collector = _RoundCollector(sampler, len(sampler)) if scan_batches \
+        else None
+
+    def run_epoch_scanned():
+        """One dispatch per epoch: collect the epoch's batches at a
+        common padding bucket, stack, scan."""
+        batches = collector.collect()
+        stacked = _stack_batches(batches)
+        return stacked, sum(b.n_real_edges for b in batches), len(batches)
+
     for epoch in range(tc.n_epochs):
         t0 = time.time()
         epoch_loss = 0.0
         nb = 0
-        for batch in prefetch(sampler):
+        if scan_batches:
+            stacked, e_real, nb = run_epoch_scanned()
             key, dk = jax.random.split(key)
-            params, opt_state, loss = train_step(params, opt_state, batch, dk)
-            epoch_loss += float(loss)
-            total_edges += batch.n_real_edges
-            nb += 1
+            params, opt_state, step_losses = train_epoch_scanned(
+                params, opt_state, stacked, dk)
+            epoch_loss = float(jnp.sum(step_losses))
+            total_edges += e_real
+        else:
+            for batch in prefetch(sampler):
+                key, dk = jax.random.split(key)
+                params, opt_state, loss = train_step(params, opt_state,
+                                                     batch, dk)
+                epoch_loss += float(loss)
+                total_edges += batch.n_real_edges
+                nb += 1
         jax.block_until_ready(params)
         total_time += time.time() - t0  # eval excluded (cluster_gcn.py:91-108)
         if (epoch + 1) % eval_every == 0 or epoch == tc.n_epochs - 1:

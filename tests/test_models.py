@@ -148,3 +148,19 @@ def test_dropout_train_vs_eval(rng):
     t2 = gcn.apply(params, g, x, cfg, train=True,
                    dropout_key=jax.random.PRNGKey(8))
     assert not np.allclose(np.asarray(t1), np.asarray(t2))
+
+
+def test_bf16_compute_modes(rng):
+    """dtype='bfloat16' runs and stays close to fp32 for GCN and SAGE."""
+    g, A = build(rng)
+    x = jnp.asarray(rng.standard_normal((g.n_nodes, 12)).astype(np.float32))
+    for mod, Cfg in [(gcn, gcn.GCNConfig), (sage, sage.SAGEConfig)]:
+        cfg32 = Cfg(12, 16, 3, n_layers=1, dropout=0.0)
+        from dataclasses import replace
+        cfg16 = replace(cfg32, dtype="bfloat16")
+        params = mod.init(jax.random.PRNGKey(0), cfg32)
+        o32 = np.asarray(mod.apply(params, g, x, cfg32))
+        o16 = np.asarray(mod.apply(params, g, x, cfg16))
+        assert o16.dtype == np.float32
+        scale = np.abs(o32).max() + 1e-6
+        assert np.abs(o16 - o32).max() / scale < 0.1, mod.__name__

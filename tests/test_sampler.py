@@ -74,3 +74,24 @@ def test_cluster_gcn_training_smoke():
                             verbose=False)
     assert res["best_val"] > 0.3, res
     assert res["train_time"] > 0
+
+
+def test_cluster_gcn_scan_batches_matches_loop():
+    from gist_tpu.models import sage
+    from gist_tpu.train.cluster import train_cluster_gcn
+    from gist_tpu.train.common import TrainConfig
+
+    ds = synthetic_dataset("synth-tiny")
+    cfg = sage.SAGEConfig(ds.in_feats, 16, ds.n_classes, n_layers=1,
+                          dropout=0.0)
+    tc = TrainConfig(lr=3e-2, weight_decay=0.0, n_epochs=4)
+    r1 = train_cluster_gcn(ds, cfg, tc, psize=4, batch_size=2,
+                           verbose=False)
+    ds2 = synthetic_dataset("synth-tiny")
+    r2 = train_cluster_gcn(ds2, cfg, tc, psize=4, batch_size=2,
+                           scan_batches=True, verbose=False)
+    # same learning signal (exact trajectories differ: the scan path
+    # consumes dropout keys differently, but dropout=0 here and batch
+    # order matches given identical seeds)
+    assert r2["best_val"] > 0.3
+    np.testing.assert_allclose(r1["losses"], r2["losses"], rtol=1e-4)
