@@ -2,7 +2,7 @@
 
 import argparse
 
-from gist_tpu.cli.common import add_common_args
+from gist_tpu.cli.common import add_common_args, apply_backend
 from gist_tpu.data import load_dataset
 from gist_tpu.models import sage
 from gist_tpu.train.cluster import train_cluster_gcn
@@ -27,6 +27,7 @@ def main(argv=None):
                    help="stack each epoch's batches and lax.scan them "
                         "(one dispatch per epoch)")
     args = p.parse_args(argv)
+    apply_backend(args)
     assert args.model_type == "sage", "only sage supported (cluster_gcn.py:67)"
 
     ds = load_dataset(args.dataset, args.data_root)

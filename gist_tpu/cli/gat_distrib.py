@@ -4,7 +4,7 @@ fixed — SURVEY.md §2.4)."""
 
 import argparse
 
-from gist_tpu.cli.common import add_common_args
+from gist_tpu.cli.common import add_common_args, apply_backend
 from gist_tpu.data import load_dataset
 from gist_tpu.models import gat
 from gist_tpu.train.common import TrainConfig, write_results
@@ -23,6 +23,7 @@ def main(argv=None):
     p.add_argument("--use-f1", action="store_true")
     p.add_argument("--cache-dir", type=str, default=None)
     args = p.parse_args(argv)
+    apply_backend(args)
     assert args.n_hidden % args.num_subnet == 0
 
     ds = load_dataset(args.dataset, args.data_root)

@@ -9,7 +9,7 @@ extends the same program to multi-host pods unchanged.
 
 import argparse
 
-from gist_tpu.cli.common import add_common_args, str2bool
+from gist_tpu.cli.common import add_common_args, apply_backend, str2bool
 from gist_tpu.data import load_dataset
 from gist_tpu.models import sage
 from gist_tpu.train.common import TrainConfig, write_results
@@ -29,8 +29,13 @@ def main(argv=None):
     p.add_argument("--ultra-wide", action="store_true",
                    help="host-offload the full-width params (the "
                         "ultra_wide.py regime)")
+    p.add_argument("--lsgd", action="store_true",
+                   help="local-SGD baseline: full model per worker, "
+                        "periodic averaging (the reference's missing "
+                        "cluster_gcn_lsgd_distrib.py)")
     p.add_argument("--cache-dir", type=str, default=None)
     args = p.parse_args(argv)
+    apply_backend(args)
     assert args.n_hidden % args.num_subnet == 0
 
     ds = load_dataset(args.dataset, args.data_root)
@@ -53,7 +58,7 @@ def main(argv=None):
         results = train_ist_cluster(
             ds, cfg, tc, psize=args.psize, batch_size=args.batch_size,
             use_pp=args.use_pp, use_f1=args.use_f1, normalize=args.normalize,
-            cache_dir=args.cache_dir)
+            cache_dir=args.cache_dir, lsgd=args.lsgd)
     write_results(results, args.result_json)
     return results
 

@@ -9,7 +9,7 @@ import time
 
 import numpy as np
 
-from gist_tpu.cli.common import add_common_args, str2bool
+from gist_tpu.cli.common import add_common_args, apply_backend, str2bool
 
 
 def main(argv=None):
@@ -20,6 +20,7 @@ def main(argv=None):
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--use-f1", action="store_true")
     args = p.parse_args(argv)
+    apply_backend(args)
 
     import jax
     import jax.numpy as jnp

@@ -6,7 +6,7 @@ including string booleans (train_ist.py:42-59)."""
 
 import argparse
 
-from gist_tpu.cli.common import add_common_args, str2bool
+from gist_tpu.cli.common import add_common_args, apply_backend, str2bool
 from gist_tpu.data import load_dataset
 from gist_tpu.ist.simulate import train_ist_simulation
 from gist_tpu.models import gcn
@@ -27,6 +27,7 @@ def main(argv=None):
                    help="jit one whole IST round per call (dispatch + "
                         "scan + merge + eval); metrics become per-round")
     args = p.parse_args(argv)
+    apply_backend(args)
 
     assert str2bool(args.use_ist), "Should train with IST (train_ist.py:289)"
     assert args.n_hidden % args.num_subnet == 0

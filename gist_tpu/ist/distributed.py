@@ -56,6 +56,7 @@ def build_ist_round(
     weight_decay: float,
     split_input: bool,
     sync: bool = True,
+    per_subnet_batches: bool = False,
 ) -> Callable:
     """Build the jitted one-round function:
 
@@ -83,11 +84,16 @@ def build_ist_round(
         sub = optax.apply_updates(sub, updates)
         return sub, opt_state, loss
 
+    batch_spec = P("subnet") if per_subnet_batches else P()
+
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(), P(), P()),
+             in_specs=(P(), P(), batch_spec, P(), P()),
              out_specs=(P(), P("subnet")),
              check_vma=False)
     def round_fn(full_params, bnds, batches, lr, key):
+        if per_subnet_batches:
+            # leading (1,) local slice of the per-subnet batch stack
+            batches = jax.tree.map(lambda a: a[0], batches)
         s = jax.lax.axis_index("subnet")
         sub = dispatch(full_params, bnds, s, kind)
         opt_state = opt.init(sub)

@@ -119,6 +119,8 @@ def train_cluster_gcn(
     key = jax.random.PRNGKey(tc.dropout_seed)
     total_time = 0.0
     total_edges = 0
+    epoch_times = []        # per-epoch wall clock (epoch 0 = compile)
+    epoch_edges = []
     val_accs, test_accs, losses = [], [], []
     from gist_tpu.utils import prefetch
 
@@ -153,7 +155,10 @@ def train_cluster_gcn(
                 total_edges += batch.n_real_edges
                 nb += 1
         jax.block_until_ready(params)
-        total_time += time.time() - t0  # eval excluded (cluster_gcn.py:91-108)
+        dt = time.time() - t0  # eval excluded (cluster_gcn.py:91-108)
+        total_time += dt
+        epoch_times.append(dt)
+        epoch_edges.append(total_edges - sum(epoch_edges))
         if (epoch + 1) % eval_every == 0 or epoch == tc.n_epochs - 1:
             va, ta = evaluate(params)
             val_accs.append(va)
@@ -163,10 +168,15 @@ def train_cluster_gcn(
             print(f"Epoch {epoch}: loss {losses[-1]:.4f} "
                   f"val {val_accs[-1]:.4f}", flush=True)
 
+    # steady state excludes epoch 0 (jit compile dominates it on TPU)
+    steady_t = sum(epoch_times[1:])
+    steady_e = sum(epoch_edges[1:])
     results = {
         "dataset": ds.name,
         "train_time": total_time,
         "edges_per_sec": total_edges / total_time if total_time else 0.0,
+        "steady_epoch_s": steady_t / max(len(epoch_times) - 1, 1),
+        "steady_edges_per_sec": steady_e / steady_t if steady_t else 0.0,
         "last_val": val_accs[-1], "best_val": max(val_accs),
         "last_test": test_accs[-1], "best_test": max(test_accs),
         "val_accs": val_accs, "test_accs": test_accs, "losses": losses,

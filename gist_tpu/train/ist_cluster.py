@@ -103,8 +103,15 @@ def train_ist_cluster(
     kind: str = "sage",
     mesh=None,
     checkpoint_dir: Optional[str] = None,
+    lsgd: bool = False,
     verbose: bool = True,
 ) -> dict:
+    """``lsgd=True`` runs the local-SGD baseline the reference's sweep
+    references but never shipped (script/reddit/run_lsgd_sweep_reddit.py
+    :63 points at a missing cluster_gcn_lsgd_distrib.py): no hidden
+    splitting — every device trains the FULL model for iter_per_site
+    steps and the sync averages all parameters (the all-leaves-unsplit
+    special case of the IST merge)."""
     K = tc.num_subnet
     if normalize:
         ds.normalize_features()
@@ -118,7 +125,13 @@ def train_ist_cluster(
     test_mask = jnp.asarray(ds.test_mask)
 
     full_params = model.init(jax.random.PRNGKey(tc.seed), model_cfg)
-    if kind == "gat":
+    if lsgd:
+        # no boundary is split: dispatch copies the full model, merge
+        # averages every leaf over the K workers
+        sub_cfg = model_cfg
+        n_weight_layers = len(full_params["layers"])
+        sizes = [None] * (n_weight_layers + 1)
+    elif kind == "gat":
         # GAT-IST: hidden boundaries only, shared last attn
         # (ist_distrib_gat.py:88-94)
         sub_cfg = model_cfg.sub_config(num_subnet=K)
@@ -132,7 +145,8 @@ def train_ist_cluster(
                                split_output=True)
     round_fn = build_ist_round(model, sub_cfg, mesh=mesh, kind=kind,
                                num_subnet=K, weight_decay=tc.weight_decay,
-                               split_input=False)
+                               split_input=False,
+                               per_subnet_batches=lsgd)
 
     @jax.jit
     def infer_full(params):
@@ -151,7 +165,10 @@ def train_ist_cluster(
     local_epochs = max(tc.n_epochs // K, 1)
     steps_total = local_epochs * len(sampler)
     n_rounds = max(steps_total // tc.iter_per_site, 1)
-    collector = _RoundCollector(sampler, tc.iter_per_site)
+    # lsgd: one flat collection of K*iter_per_site batches per round (a
+    # common padding bucket), split into one stream per worker
+    collector = _RoundCollector(
+        sampler, tc.iter_per_site * K if lsgd else tc.iter_per_site)
 
     part_key = jax.random.PRNGKey(tc.seed + 1)
     drop_key = jax.random.PRNGKey(tc.dropout_seed)
@@ -199,7 +216,14 @@ def train_ist_cluster(
         batches = pending.result()
         pending = pool.submit(collector.collect) \
             if rnd + 1 < n_rounds else None
-        stacked = _stack_batches(batches)
+        if lsgd:
+            # each worker consumes its own slice of the cluster stream
+            spr = tc.iter_per_site
+            all_stacks = [_stack_batches(batches[i * spr:(i + 1) * spr])
+                          for i in range(K)]
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *all_stacks)
+        else:
+            stacked = _stack_batches(batches)
         part_key, sk = jax.random.split(part_key)
         bnds = sample_boundaries(sk, sizes, K)
         lr = reference_lr_schedule(tc.lr, n_rounds, rnd) if tc.lr_schedule \

@@ -78,3 +78,20 @@ def test_sage_ist_cluster_training_smoke():
     res = train_ist_cluster(ds, cfg, tc, psize=4, batch_size=2,
                             verbose=False)
     assert res["best_val"] > 0.3, res
+
+
+def test_lsgd_baseline_learns():
+    """Local-SGD baseline: full models per worker, periodic averaging
+    (the reference's missing cluster_gcn_lsgd_distrib.py)."""
+    from gist_tpu.models import sage
+    from gist_tpu.train.common import TrainConfig
+    from gist_tpu.train.ist_cluster import train_ist_cluster
+
+    ds = synthetic_dataset("synth-tiny")
+    cfg = sage.SAGEConfig(ds.in_feats, 16, ds.n_classes, n_layers=1,
+                          dropout=0.0)
+    tc = TrainConfig(lr=3e-2, weight_decay=0.0, n_epochs=8, num_subnet=2,
+                     iter_per_site=2)
+    res = train_ist_cluster(ds, cfg, tc, psize=8, batch_size=2, lsgd=True,
+                            verbose=False)
+    assert res["best_val"] > 0.3, res
