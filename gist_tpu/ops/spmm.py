@@ -51,13 +51,16 @@ def spmm_segment(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def spmm_segment_chunked(graph: Graph, x: jnp.ndarray,
-                         edge_chunk: int = 4 * 1024 * 1024) -> jnp.ndarray:
+                         edge_chunk: Optional[int] = None) -> jnp.ndarray:
     """Memory-bounded aggregation for huge graphs: both the plain
     segment path and the pallas path materialize the gathered (E, F)
     messages, which for Amazon2M-scale edge counts (>100M) exceeds HBM.
     This version scans edge chunks, accumulating partial segment sums —
-    peak extra memory = edge_chunk * F.
+    peak extra memory = edge_chunk * F (default sized to ~1 GiB).
     """
+    if edge_chunk is None:
+        f_bytes = max(int(x.shape[-1]) * x.dtype.itemsize, 1)
+        edge_chunk = max(2 ** 30 // f_bytes, 65536)
     e_pad = graph.n_edges_padded
     if e_pad <= edge_chunk:
         return spmm_segment(graph, x)
