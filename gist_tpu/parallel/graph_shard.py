@@ -47,6 +47,13 @@ class ShardedGraph:
     in_degrees: jnp.ndarray   # (D, n_loc_pad) float32 (true degree)
     out_degrees: jnp.ndarray  # (D, n_loc_pad) float32
     node_perm: jnp.ndarray    # (N,) original -> shard order
+    # interior/boundary split of the same edges (for overlapping the
+    # halo all_to_all with the interior SpMM): interior senders index
+    # x_local, boundary senders index the halo stack (offset removed)
+    int_senders: jnp.ndarray  # (D, Ei_pad)
+    int_receivers: jnp.ndarray
+    bnd_senders: jnp.ndarray  # (D, Eb_pad) — index into halo (D*halo_pad)
+    bnd_receivers: jnp.ndarray
     n_nodes: int = struct.field(pytree_node=False)      # original N
     n_devices: int = struct.field(pytree_node=False)
     n_loc_pad: int = struct.field(pytree_node=False)
@@ -102,10 +109,12 @@ def build_sharded_graph(senders, receivers, n_nodes: int, n_devices: int,
         for j in range(D):
             send_idx[j, i, :len(need[i][j])] = need[i][j]
 
-    # per-device edge lists with remapped senders
+    # per-device edge lists with remapped senders, plus the
+    # interior/boundary split used to overlap comm and compute
     e_pad = _round_up(max(int((e_owner == i).sum()) for i in range(D)) or 1, 8)
     s_out = np.zeros((D, e_pad), dtype=np.int64)
     r_out = np.full((D, e_pad), n_loc_pad, dtype=np.int64)
+    int_s, int_r, bnd_s, bnd_r = [], [], [], []
     for i in range(D):
         mask_i = e_owner == i
         s_i, r_i = senders[mask_i], receivers[mask_i]
@@ -124,6 +133,24 @@ def build_sharded_graph(senders, receivers, n_nodes: int, n_devices: int,
         cnt = len(s_i)
         s_out[i, :cnt] = local_senders[order]
         r_out[i, :cnt] = local_of[r_i][order]
+        loc_sorted = is_local[order]
+        ss, rr = s_out[i, :cnt], r_out[i, :cnt]
+        int_s.append(ss[loc_sorted])
+        int_r.append(rr[loc_sorted])
+        bnd_s.append(ss[~loc_sorted] - n_loc_pad)  # index into halo stack
+        bnd_r.append(rr[~loc_sorted])
+
+    ei_pad = _round_up(max(len(a) for a in int_s) or 1, 8)
+    eb_pad = _round_up(max(len(a) for a in bnd_s) or 1, 8)
+    int_s_out = np.zeros((D, ei_pad), dtype=np.int64)
+    int_r_out = np.full((D, ei_pad), n_loc_pad, dtype=np.int64)
+    bnd_s_out = np.zeros((D, eb_pad), dtype=np.int64)
+    bnd_r_out = np.full((D, eb_pad), n_loc_pad, dtype=np.int64)
+    for i in range(D):
+        int_s_out[i, :len(int_s[i])] = int_s[i]
+        int_r_out[i, :len(int_r[i])] = int_r[i]
+        bnd_s_out[i, :len(bnd_s[i])] = bnd_s[i]
+        bnd_r_out[i, :len(bnd_r[i])] = bnd_r[i]
 
     # degrees in shard order (true degrees of the full graph)
     in_deg = np.bincount(receivers, minlength=n_nodes).astype(np.float32)
@@ -141,6 +168,10 @@ def build_sharded_graph(senders, receivers, n_nodes: int, n_devices: int,
         in_degrees=jnp.asarray(in_deg_sh),
         out_degrees=jnp.asarray(out_deg_sh),
         node_perm=jnp.asarray(perm, jnp.int32),
+        int_senders=jnp.asarray(int_s_out, jnp.int32),
+        int_receivers=jnp.asarray(int_r_out, jnp.int32),
+        bnd_senders=jnp.asarray(bnd_s_out, jnp.int32),
+        bnd_receivers=jnp.asarray(bnd_r_out, jnp.int32),
         n_nodes=n_nodes, n_devices=D, n_loc_pad=n_loc_pad,
         halo_pad=halo_pad, n_edges=int(senders.shape[0]))
 
@@ -175,9 +206,34 @@ def _local_agg(sg: ShardedGraph, x_loc, send_idx_me, senders, receivers):
                                indices_are_sorted=True)
 
 
-def sharded_aggregate(sg: ShardedGraph, mesh: Mesh):
+def _local_agg_overlapped(sg: ShardedGraph, x_loc, send_idx_me,
+                          int_senders, int_receivers,
+                          bnd_senders, bnd_receivers):
+    """Same result as :func:`_local_agg`, but the interior-edge SpMM is
+    data-independent of the all_to_all, so XLA's latency-hiding
+    scheduler can run it while the halo is on the wire; only the (much
+    smaller) boundary-edge SpMM waits for the collective."""
+    D, H = sg.n_devices, sg.halo_pad
+    f = x_loc.shape[-1]
+    send = jnp.take(x_loc, send_idx_me.reshape(-1), axis=0)
+    send = send.reshape(D, H, f)
+    halo = jax.lax.all_to_all(send, "graph", split_axis=0, concat_axis=0)
+    interior = jax.ops.segment_sum(
+        jnp.take(x_loc, int_senders, axis=0), int_receivers,
+        num_segments=sg.n_loc_pad, indices_are_sorted=True)
+    boundary = jax.ops.segment_sum(
+        jnp.take(halo.reshape(D * H, f), bnd_senders, axis=0),
+        bnd_receivers, num_segments=sg.n_loc_pad,
+        indices_are_sorted=True)
+    return interior + boundary
+
+
+def sharded_aggregate(sg: ShardedGraph, mesh: Mesh,
+                      overlapped: bool = True):
     """Returns jitted ``agg(x_sharded) -> y_sharded`` ((D*n_loc_pad, F)
-    in, same out), the distributed ``out[r] = sum x[s]``."""
+    in, same out), the distributed ``out[r] = sum x[s]``.
+    ``overlapped`` uses the interior/boundary edge split so the halo
+    collective hides behind the interior SpMM."""
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P("graph", None), P("graph"), P("graph"), P("graph")),
@@ -186,7 +242,22 @@ def sharded_aggregate(sg: ShardedGraph, mesh: Mesh):
     def agg(x_loc, send_idx, senders, receivers):
         return _local_agg(sg, x_loc, send_idx[0], senders[0], receivers[0])
 
-    def run(x_sharded):
-        return agg(x_sharded, sg.send_idx, sg.senders, sg.receivers)
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("graph", None), P("graph"), P("graph"), P("graph"),
+                       P("graph"), P("graph")),
+             out_specs=P("graph", None),
+             check_vma=False)
+    def agg_ov(x_loc, send_idx, int_s, int_r, bnd_s, bnd_r):
+        return _local_agg_overlapped(sg, x_loc, send_idx[0], int_s[0],
+                                     int_r[0], bnd_s[0], bnd_r[0])
+
+    if overlapped:
+        def run(x_sharded):
+            return agg_ov(x_sharded, sg.send_idx, sg.int_senders,
+                          sg.int_receivers, sg.bnd_senders,
+                          sg.bnd_receivers)
+    else:
+        def run(x_sharded):
+            return agg(x_sharded, sg.send_idx, sg.senders, sg.receivers)
 
     return jax.jit(run)

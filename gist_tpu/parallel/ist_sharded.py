@@ -28,8 +28,9 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gist_tpu.ist.slicing import dispatch, merge
-from gist_tpu.models.layers import layer_norm
-from gist_tpu.parallel.graph_shard import ShardedGraph, _local_agg
+from gist_tpu.parallel.graph_shard import ShardedGraph
+# the sub-model forward is the shared graph-sharded SAGE stack
+from gist_tpu.parallel.train import device_arrays, sharded_sage_forward
 from gist_tpu.train.common import make_optimizer
 
 
@@ -41,26 +42,6 @@ def make_ist_graph_mesh(num_subnet: int, num_graph: int,
         raise ValueError(f"need {need} devices, have {len(devices)}")
     arr = np.asarray(devices[:need]).reshape(num_subnet, num_graph)
     return Mesh(arr, ("subnet", "graph"))
-
-
-def _sub_sage_forward(sg: ShardedGraph, params, x_loc, send_idx, senders,
-                      receivers, in_deg_loc, *, use_layernorm: bool):
-    """Graph-sharded SAGE forward with a SUB-model's params (same math
-    as parallel/train.py:sharded_sage_forward; halos ride the 'graph'
-    axis of the 2-D mesh)."""
-    inv = jnp.where(in_deg_loc > 0, 1.0 / jnp.maximum(in_deg_loc, 1.0),
-                    0.0)[:, None]
-    h = x_loc
-    n = len(params["layers"])
-    for i, layer in enumerate(params["layers"]):
-        ah = _local_agg(sg, h, send_idx, senders, receivers) * inv
-        h = jnp.concatenate([h, ah], axis=1)
-        h = h @ layer["w"] + layer["b"]
-        if i < n - 1:
-            if use_layernorm:
-                h = layer_norm(h)
-            h = jax.nn.relu(h)
-    return h
 
 
 def build_ist_sharded_round(
@@ -87,21 +68,20 @@ def build_ist_sharded_round(
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(), P(), P("graph", None), P("graph"), P("graph"),
-                       P(), P(), P("graph"), P("graph"),
-                       P("graph"), P("graph")),
+                       P(), P(), P("graph")),
              out_specs=(P(), P()),
              check_vma=False)
     def round_fn(full_params, bnds, x_loc, labels_loc, mask_loc, lr, key,
-                 send_idx, senders, receivers, in_deg):
+                 dev):
+        dev = jax.tree.map(lambda a: a[0], dev)
         s = jax.lax.axis_index("subnet")
         sub = dispatch(full_params, bnds, s, kind)
         opt_state = opt.init(sub)
         key = jax.random.fold_in(key, s)
 
         def loss_fn(p):
-            logits = _sub_sage_forward(
-                sg, p, x_loc, send_idx[0], senders[0], receivers[0],
-                in_deg[0], use_layernorm=use_layernorm)
+            logits = sharded_sage_forward(
+                sg, p, x_loc, dev, use_layernorm=use_layernorm)
             logp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(logp, labels_loc[:, None],
                                        axis=-1)[:, 0]
@@ -127,7 +107,6 @@ def build_ist_sharded_round(
 
     def run(full_params, bnds, x_sh, labels_sh, mask_sh, lr, key):
         return round_fn(full_params, bnds, x_sh, labels_sh, mask_sh, lr,
-                        key, sg.send_idx, sg.senders, sg.receivers,
-                        sg.in_degrees)
+                        key, device_arrays(sg))
 
     return jax.jit(run)

@@ -27,16 +27,33 @@ from gist_tpu.parallel.graph_shard import ShardedGraph, _local_agg
 from gist_tpu.train.common import make_optimizer
 
 
-def sharded_sage_forward(sg: ShardedGraph, params: dict, x_loc,
-                         send_idx, senders, receivers, in_deg_loc,
+def device_arrays(sg: ShardedGraph) -> dict:
+    """The per-device array bundle every sharded step needs, passed as
+    one pytree with in_spec P("graph") (leading device axis sharded)."""
+    return {
+        "send_idx": sg.send_idx,
+        "int_s": sg.int_senders, "int_r": sg.int_receivers,
+        "bnd_s": sg.bnd_senders, "bnd_r": sg.bnd_receivers,
+        "in_deg": sg.in_degrees,
+    }
+
+
+def sharded_sage_forward(sg: ShardedGraph, params: dict, x_loc, dev,
                          *, use_layernorm: bool = True):
-    """Per-device SAGE stack forward (inside shard_map)."""
-    inv = jnp.where(in_deg_loc > 0, 1.0 / jnp.maximum(in_deg_loc, 1.0),
-                    0.0)[:, None]
+    """Per-device SAGE stack forward (inside shard_map).  ``dev`` is the
+    local slice of :func:`device_arrays` (leading axis stripped).  Every
+    layer's halo all_to_all overlaps with its interior-edge SpMM
+    (graph_shard._local_agg_overlapped)."""
+    from gist_tpu.parallel.graph_shard import _local_agg_overlapped
+
+    inv = jnp.where(dev["in_deg"] > 0,
+                    1.0 / jnp.maximum(dev["in_deg"], 1.0), 0.0)[:, None]
     h = x_loc
     n = len(params["layers"])
     for i, layer in enumerate(params["layers"]):
-        ah = _local_agg(sg, h, send_idx, senders, receivers) * inv
+        ah = _local_agg_overlapped(
+            sg, h, dev["send_idx"], dev["int_s"], dev["int_r"],
+            dev["bnd_s"], dev["bnd_r"]) * inv
         h = jnp.concatenate([h, ah], axis=1)
         h = h @ layer["w"] + layer["b"]
         is_last = i == n - 1
@@ -57,15 +74,15 @@ def build_sharded_sage_step(sg: ShardedGraph, mesh: Mesh, *,
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(), P("graph", None), P("graph"), P("graph"),
-                       P("graph"), P("graph"), P("graph"), P("graph")),
+                       P("graph")),
              out_specs=(P(), P()),
              check_vma=False)
-    def grad_local(params, x_loc, labels_loc, mask_loc, send_idx,
-                   senders, receivers, in_deg):
+    def grad_local(params, x_loc, labels_loc, mask_loc, dev):
+        dev = jax.tree.map(lambda a: a[0], dev)
+
         def loss_fn(p):
             logits = sharded_sage_forward(
-                sg, p, x_loc, send_idx[0], senders[0], receivers[0],
-                in_deg[0], use_layernorm=use_layernorm)
+                sg, p, x_loc, dev, use_layernorm=use_layernorm)
             logp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(logp, labels_loc[:, None],
                                        axis=-1)[:, 0]
@@ -81,8 +98,7 @@ def build_sharded_sage_step(sg: ShardedGraph, mesh: Mesh, *,
     @jax.jit
     def step(params, opt_state, x_sh, labels_sh, mask_sh):
         grads, loss = grad_local(params, x_sh, labels_sh, mask_sh,
-                                 sg.send_idx, sg.senders, sg.receivers,
-                                 sg.in_degrees)
+                                 device_arrays(sg))
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -95,17 +111,15 @@ def build_sharded_sage_infer(sg: ShardedGraph, mesh: Mesh, *,
     """Jitted sharded inference: logits over all (padded) rows."""
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P("graph", None), P("graph"), P("graph"),
-                       P("graph"), P("graph")),
+             in_specs=(P(), P("graph", None), P("graph")),
              out_specs=P("graph", None),
              check_vma=False)
-    def fwd(params, x_loc, send_idx, senders, receivers, in_deg):
-        return sharded_sage_forward(
-            sg, params, x_loc, send_idx[0], senders[0], receivers[0],
-            in_deg[0], use_layernorm=use_layernorm)
+    def fwd(params, x_loc, dev):
+        dev = jax.tree.map(lambda a: a[0], dev)
+        return sharded_sage_forward(sg, params, x_loc, dev,
+                                    use_layernorm=use_layernorm)
 
     def run(params, x_sh):
-        return fwd(params, x_sh, sg.send_idx, sg.senders, sg.receivers,
-                   sg.in_degrees)
+        return fwd(params, x_sh, device_arrays(sg))
 
     return jax.jit(run)

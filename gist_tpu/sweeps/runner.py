@@ -92,7 +92,10 @@ def summarize(jsonl_path: str, metric: str = "best_test") -> List[dict]:
             if rec.get("status") != "ok":
                 continue
             ckey = json.dumps(rec["config"], sort_keys=True, default=str)
-            val = rec["result"].get(metric)
+            # trainers use either "best_test" (cluster) or
+            # "best_test_acc" (full-graph/IST) naming
+            val = rec["result"].get(metric,
+                                    rec["result"].get(metric + "_acc"))
             if val is not None:
                 by_config[ckey].append(val)
     out = []

@@ -89,3 +89,19 @@ def test_sharded_sage_layer_matches_single_device(rng):
     got = h @ layer["w"] + layer["b"]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_overlapped_agg_matches_plain(rng):
+    n, d = 50, 4
+    s, r = make_random_graph(rng, n, 300)
+    sg = build_sharded_graph(s, r, n, d)
+    mesh = make_mesh(d)
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    xs = shard_features(sg, x, mesh)
+    y_plain = unshard(sg, sharded_aggregate(sg, mesh, overlapped=False)(xs))
+    y_ov = unshard(sg, sharded_aggregate(sg, mesh, overlapped=True)(xs))
+    np.testing.assert_allclose(np.asarray(y_ov), np.asarray(y_plain),
+                               rtol=1e-5, atol=1e-5)
+    A = dense_adj(s, r, n)
+    np.testing.assert_allclose(np.asarray(y_ov), A @ x, rtol=1e-5,
+                               atol=1e-5)
