@@ -42,6 +42,7 @@ def train_ist_ultrawide(
     mesh=None,
     eval_on_cpu: bool = True,
     eval_every_rounds: int = 1,
+    checkpoint_dir: Optional[str] = None,
     verbose: bool = True,
 ) -> dict:
     K = tc.num_subnet
@@ -95,9 +96,35 @@ def train_ist_ultrawide(
     host_rng = np.random.default_rng(tc.seed + 1)
     drop_key = jax.random.PRNGKey(tc.dropout_seed)
 
+    start_round = 0
+    if checkpoint_dir:
+        from gist_tpu.train.checkpoint import (latest_round_dir,
+                                               load_checkpoint,
+                                               save_checkpoint)
+        ck = latest_round_dir(checkpoint_dir)
+        if ck is not None:
+            state = load_checkpoint(ck)
+            full_params = jax.tree.map(
+                lambda a: np.array(a, copy=True), state["params"])
+            drop_key = jnp.asarray(state["drop_key"])
+            start_round = int(state["round"]) + 1
+            # replay the consumed randomness (partition sampling and
+            # cluster order) so the sequence continues unchanged
+            for _ in range(start_round):
+                sample_boundaries_host(host_rng, sizes, K)
+                collector.collect()
+            if verbose:
+                print(f"resumed from {ck} (round {start_round})",
+                      flush=True)
+
     total_time = 0.0
     val_accs, test_accs, losses = [], [], []
-    for rnd in range(n_rounds):
+    if start_round >= n_rounds:
+        va, ta = evaluate(full_params)
+        val_accs.append(va)
+        test_accs.append(ta)
+        losses.append(float("nan"))
+    for rnd in range(start_round, n_rounds):
         batches = collector.collect()
         stacked_batches = _stack_batches(batches)
         t0 = time.time()
@@ -118,6 +145,12 @@ def train_ist_ultrawide(
             if verbose:
                 print(f"round {rnd}/{n_rounds}: loss {losses[-1]:.4f} "
                       f"val {va:.4f}", flush=True)
+            if checkpoint_dir:
+                import os
+                save_checkpoint(
+                    os.path.join(checkpoint_dir, f"round_{rnd}"),
+                    {"params": full_params, "round": rnd,
+                     "drop_key": np.asarray(drop_key)})
 
     results = {
         "dataset": ds.name, "num_subnet": K, "train_time": total_time,

@@ -164,3 +164,19 @@ def test_bf16_compute_modes(rng):
         assert o16.dtype == np.float32
         scale = np.abs(o32).max() + 1e-6
         assert np.abs(o16 - o32).max() / scale < 0.1, mod.__name__
+
+
+def test_single_head_gat_layer_fn(rng):
+    """layers.gat_layer (the single-head functional primitive) agrees
+    with the stacked model's single-head layer."""
+    from gist_tpu.models.layers import gat_layer
+    from gist_tpu.models.gat import _multi_head_layer
+    g, _ = build(rng)
+    d_in, d_out = 6, 4
+    w = jnp.asarray(rng.standard_normal((d_in, d_out)).astype(np.float32))
+    attn = jnp.asarray(rng.standard_normal(2 * d_out).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((g.n_nodes, d_in)).astype(np.float32))
+    got = gat_layer(g, x, {"w": w, "attn": attn})
+    want = _multi_head_layer(g, x, {"w": w[None], "attn": attn[None]}, 0.01)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)

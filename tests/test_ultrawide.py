@@ -77,3 +77,20 @@ def test_ultrawide_training_smoke():
                               eval_on_cpu=True, verbose=False)
     assert res["ultra_wide"]
     assert res["best_val"] > 0.3, res
+
+
+def test_ultrawide_checkpoint_resume(tmp_path):
+    from gist_tpu.train.ist_ultrawide import train_ist_ultrawide
+
+    ds = synthetic_dataset("synth-tiny")
+    cfg = sage.SAGEConfig(ds.in_feats, 16, ds.n_classes, n_layers=1,
+                          dropout=0.0)
+    tc = TrainConfig(lr=3e-2, weight_decay=0.0, n_epochs=8, num_subnet=2,
+                     iter_per_site=2)
+    ck = str(tmp_path / "uw")
+    r1 = train_ist_ultrawide(ds, cfg, tc, psize=4, batch_size=2,
+                             checkpoint_dir=ck, verbose=False)
+    ds2 = synthetic_dataset("synth-tiny")
+    r2 = train_ist_ultrawide(ds2, cfg, tc, psize=4, batch_size=2,
+                             checkpoint_dir=ck, verbose=False)
+    assert np.isfinite(r2["best_val"])
