@@ -34,6 +34,9 @@ def main(argv=None):
                         "periodic averaging (the reference's missing "
                         "cluster_gcn_lsgd_distrib.py)")
     p.add_argument("--cache-dir", type=str, default=None)
+    p.add_argument("--checkpoint-dir", type=str, default=None,
+                   help="save params + RNG state per eval round; resume "
+                        "from the latest round when present")
     args = p.parse_args(argv)
     apply_backend(args)
     assert args.n_hidden % args.num_subnet == 0
@@ -53,12 +56,14 @@ def main(argv=None):
         results = train_ist_ultrawide(
             ds, cfg, tc, psize=args.psize, batch_size=args.batch_size,
             use_pp=args.use_pp, use_f1=args.use_f1,
-            normalize=args.normalize, cache_dir=args.cache_dir)
+            normalize=args.normalize, cache_dir=args.cache_dir,
+            checkpoint_dir=args.checkpoint_dir)
     else:
         results = train_ist_cluster(
             ds, cfg, tc, psize=args.psize, batch_size=args.batch_size,
             use_pp=args.use_pp, use_f1=args.use_f1, normalize=args.normalize,
-            cache_dir=args.cache_dir, lsgd=args.lsgd)
+            cache_dir=args.cache_dir, lsgd=args.lsgd,
+            checkpoint_dir=args.checkpoint_dir)
     write_results(results, args.result_json)
     return results
 
