@@ -18,7 +18,6 @@ not per graph instance.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -32,7 +32,7 @@ static index shapes) and vmaps over the subnet axis.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -22,9 +22,7 @@ construction the full model may not fit one chip.
 
 from __future__ import annotations
 
-import time
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

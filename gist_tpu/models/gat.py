@@ -24,8 +24,7 @@ import numpy as np
 
 from gist_tpu.graph import Graph
 from gist_tpu.models.common import xavier_normal_gain
-from gist_tpu.ops.segment import (sddmm_concat, segment_softmax,
-                                  segment_weighted_sum)
+from gist_tpu.ops.segment import segment_softmax, segment_weighted_sum
 
 
 @dataclass(frozen=True)

@@ -22,7 +22,7 @@ reference's every-rank-holds-everything (no exchange, full replication
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,13 +19,11 @@ reference's ceiling was "K processes each holding the whole graph".
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from gist_tpu.ist.slicing import dispatch, merge
 from gist_tpu.parallel.graph_shard import ShardedGraph

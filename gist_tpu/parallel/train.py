@@ -15,7 +15,6 @@ graph on every rank, ist_distrib.py:482-517).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,10 +10,8 @@ uninterrupted.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
-import numpy as np
 
 
 def _ckpt(path: str):

@@ -5,10 +5,9 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass
 from typing import Optional
 
-import jax
 import optax
 
 

@@ -23,7 +23,6 @@ from gist_tpu.graph import Graph, graph_from_edges
 from gist_tpu.models import gcn
 from gist_tpu.models.common import masked_accuracy, masked_cross_entropy
 from gist_tpu.train.common import (TrainConfig, make_optimizer,
-                                   print_reference_summary,
                                    reference_lr_schedule)
 
 

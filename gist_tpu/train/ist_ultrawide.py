@@ -20,7 +20,7 @@ from gist_tpu.ist.ultrawide import (build_local_burst, dispatch_host,
                                     merge_host, sample_boundaries_host,
                                     shard_over_subnets)
 from gist_tpu.models import sage
-from gist_tpu.models.common import masked_accuracy, micro_f1
+from gist_tpu.models.common import micro_f1
 from gist_tpu.sampler import ClusterSampler
 from gist_tpu.train.common import TrainConfig
 from gist_tpu.train.ist_cluster import _RoundCollector, _stack_batches
