@@ -26,6 +26,9 @@ def main(argv=None):
     p.add_argument("--scan-batches", action="store_true",
                    help="stack each epoch's batches and lax.scan them "
                         "(one dispatch per epoch)")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="model compute dtype")
     args = p.parse_args(argv)
     apply_backend(args)
     assert args.model_type == "sage", "only sage supported (cluster_gcn.py:67)"
@@ -36,7 +39,7 @@ def main(argv=None):
         in_feats=ds.in_feats, n_hidden=args.n_hidden, n_classes=ds.n_classes,
         n_layers=args.n_layers, dropout=args.dropout,
         use_layernorm=args.use_ln or args.use_layernorm == "True",
-        use_pp=args.use_pp)
+        use_pp=args.use_pp, dtype=args.dtype)
     tc = TrainConfig(lr=args.lr, weight_decay=args.weight_decay,
                      n_epochs=args.n_epochs, seed=args.rnd_seed)
     results = train_cluster_gcn(

@@ -37,6 +37,9 @@ def main(argv=None):
     p.add_argument("--checkpoint-dir", type=str, default=None,
                    help="save params + RNG state per eval round; resume "
                         "from the latest round when present")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="model compute dtype")
     args = p.parse_args(argv)
     apply_backend(args)
     assert args.n_hidden % args.num_subnet == 0
@@ -46,7 +49,7 @@ def main(argv=None):
     cfg = sage.SAGEConfig(
         in_feats=ds.in_feats, n_hidden=args.n_hidden, n_classes=ds.n_classes,
         n_layers=args.n_layers, dropout=args.dropout,
-        use_layernorm=str2bool(args.use_layernorm), use_pp=args.use_pp)
+        use_layernorm=str2bool(args.use_layernorm), use_pp=args.use_pp, dtype=args.dtype)
     tc = TrainConfig(lr=args.lr, weight_decay=args.weight_decay,
                      n_epochs=args.n_epochs, seed=args.rnd_seed,
                      num_subnet=args.num_subnet,
