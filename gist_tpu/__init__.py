@@ -18,8 +18,11 @@ See SURVEY.md for the reference analysis this design responds to.
 """
 
 from gist_tpu.graph import Graph, graph_from_edges, add_self_loops, subgraph
-from gist_tpu import ops
-from gist_tpu import models
+from gist_tpu import data
 from gist_tpu import ist
+from gist_tpu import models
+from gist_tpu import ops
+from gist_tpu import parallel
+from gist_tpu import train
 
 __version__ = "0.1.0"

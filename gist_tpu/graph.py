@@ -132,6 +132,25 @@ class Graph:
     def n_edges_padded(self) -> int:
         return self.senders.shape[0]
 
+    def with_tiles(self, tile_rows: int = 128) -> "Graph":
+        """Return a copy carrying the Pallas tile layouts (host-side
+        rebuild from the existing edge arrays); no-op if present."""
+        if self.tiled is not None:
+            return self
+        s = np.asarray(self.senders[:self.n_edges])
+        r = np.asarray(self.receivers[:self.n_edges])
+        indptr = np.asarray(self.indptr, dtype=np.int64)
+        t_s = np.asarray(self.t_senders[:self.n_edges])
+        t_r = np.asarray(self.t_receivers[:self.n_edges])
+        t_indptr = np.asarray(self.t_indptr, dtype=np.int64)
+        return self.replace(
+            tiled=_build_tiled_csr(s.astype(np.int32), r.astype(np.int32),
+                                   indptr, self.n_nodes,
+                                   tile_rows=tile_rows),
+            tiled_t=_build_tiled_csr(t_s.astype(np.int32),
+                                     t_r.astype(np.int32), t_indptr,
+                                     self.n_nodes, tile_rows=tile_rows))
+
     def __repr__(self) -> str:  # pragma: no cover
         return (f"Graph(n_nodes={self.n_nodes}, n_edges={self.n_edges}, "
                 f"padded={self.n_edges_padded})")

@@ -151,3 +151,25 @@ def test_spmm_chunked_grad(rng):
         spmm_segment_chunked(g, x, edge_chunk=64) * w))(x)
     np.testing.assert_allclose(np.asarray(grad), A.T @ w, rtol=1e-4,
                                atol=1e-4)
+
+
+def test_with_tiles_roundtrip(rng):
+    g, s, r = build(rng, n_nodes=50, n_edges=300)
+    assert g.tiled is None
+    g2 = g.with_tiles()
+    assert g2.tiled is not None and g2.tiled_t is not None
+    # tiles built lazily match tiles built at construction
+    g3 = G.graph_from_edges(s, r, 50, tiles=True)
+    np.testing.assert_array_equal(np.asarray(g2.tiled.senders),
+                                  np.asarray(g3.tiled.senders))
+    np.testing.assert_array_equal(np.asarray(g2.tiled_t.receivers),
+                                  np.asarray(g3.tiled_t.receivers))
+    assert g2.with_tiles() is g2  # no-op when present
+
+
+def test_aggregate_pallas_falls_back_without_tiles(rng):
+    g, s, r = build(rng, n_nodes=30, n_edges=100)  # no tiles
+    x = jnp.asarray(rng.standard_normal((30, 8)).astype(np.float32))
+    want = np.asarray(spmm_segment(g, x))
+    got = np.asarray(aggregate(g, x, backend="pallas"))  # silently degrades
+    np.testing.assert_allclose(got, want, rtol=1e-6)
