@@ -24,7 +24,9 @@ def main(argv=None):
     p.add_argument("--cache-dir", type=str, default=None)
     args = p.parse_args(argv)
     apply_backend(args)
-    assert args.n_hidden % args.num_subnet == 0
+    assert args.n_hidden % args.num_subnet == 0, (
+        f"--n-hidden ({args.n_hidden}) must be divisible by "
+        f"--num_subnet ({args.num_subnet})")
 
     ds = load_dataset(args.dataset, args.data_root)
     print(ds.summary())

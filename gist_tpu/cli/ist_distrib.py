@@ -42,7 +42,9 @@ def main(argv=None):
                    help="model compute dtype")
     args = p.parse_args(argv)
     apply_backend(args)
-    assert args.n_hidden % args.num_subnet == 0
+    assert args.n_hidden % args.num_subnet == 0, (
+        f"--n-hidden ({args.n_hidden}) must be divisible by "
+        f"--num_subnet ({args.num_subnet})")
 
     ds = load_dataset(args.dataset, args.data_root)
     print(ds.summary())

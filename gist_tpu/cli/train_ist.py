@@ -30,7 +30,9 @@ def main(argv=None):
     apply_backend(args)
 
     assert str2bool(args.use_ist), "Should train with IST (train_ist.py:289)"
-    assert args.n_hidden % args.num_subnet == 0
+    assert args.n_hidden % args.num_subnet == 0, (
+        f"--n-hidden ({args.n_hidden}) must be divisible by "
+        f"--num_subnet ({args.num_subnet})")
 
     ds = load_dataset(args.dataset, args.data_root,
                       self_loop=str2bool(args.self_loop))
