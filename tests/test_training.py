@@ -83,3 +83,16 @@ def test_fused_ist_learns():
     res = train_ist_simulation(ds, cfg, tc, fused=True, verbose=False)
     assert res["fused"] and res["best_val_acc"] > 0.4, res
     assert len(res["val_accs"]) == 6  # one eval per round
+
+
+def test_ist_simulation_sage_kind():
+    """IST simulation over the SAGE stack (kind='sage' slicing)."""
+    from gist_tpu.models import sage
+    ds = synthetic_dataset("synth-tiny")
+    cfg = sage.SAGEConfig(ds.in_feats, 16, ds.n_classes, n_layers=1,
+                          dropout=0.0)
+    tc = TrainConfig(lr=3e-2, weight_decay=0.0, n_epochs=12, num_subnet=2,
+                     iter_per_site=3, split_output=True)
+    res = train_ist_simulation(ds, cfg, tc, model=sage, kind="sage",
+                               fused=True, verbose=False)
+    assert res["best_val_acc"] > 0.4, res
