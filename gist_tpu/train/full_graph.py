@@ -198,8 +198,10 @@ def _train_full_graph_scanned(
             params, opt_state, key, lrs[done:done + k], k)
         jax.block_until_ready(l)
         dt = time.time() - t0
-        if done >= 3 or done + k > 3:
-            durs.append(dt / k)   # approximate per-epoch (block-level)
+        if done > 0:
+            # first block carries the jit compile; exclude it entirely
+            # (the loop path's 3-epoch warm-up analog, train.py:102)
+            durs.append(dt / k)
         losses += [float(v) for v in l]
         val_accs += [float(v) for v in va]
         test_accs += [float(v) for v in ta]
