@@ -93,12 +93,28 @@ def masked_accuracy(logits: jnp.ndarray, labels: jnp.ndarray,
     return jnp.sum(correct) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-def micro_f1(logits: np.ndarray, labels: np.ndarray, mask: np.ndarray) -> float:
-    """Micro-averaged F1 for single-label multi-class = accuracy over the
-    mask (cluster_gcn/utils.py:47-57 calls sklearn f1_score(average=
-    'micro') on argmax predictions, which equals accuracy)."""
-    pred = np.argmax(np.asarray(logits), axis=-1)
+def micro_f1(logits: np.ndarray, labels: np.ndarray, mask: np.ndarray,
+             multitask: bool = False) -> float:
+    """Micro-averaged F1 (cluster_gcn/utils.py:47-57).
+
+    Single-label (default): f1_score(average='micro') on argmax
+    predictions, which equals accuracy over the mask.  Multitask:
+    labels are (N, C) multi-hot; predictions threshold the logits at 0
+    (the reference's ``y_pred[y_pred > 0] = 1``), and micro-F1 is
+    ``2TP / (2TP + FP + FN)`` pooled over all (node, class) cells.
+    """
     mask = np.asarray(mask).astype(bool)
     if mask.sum() == 0:
         return -1.0
-    return float((pred[mask] == np.asarray(labels)[mask]).mean())
+    logits = np.asarray(logits)
+    labels = np.asarray(labels)
+    if multitask:
+        pred = (logits[mask] > 0).astype(np.int64)
+        true = (labels[mask] > 0).astype(np.int64)
+        tp = int(np.sum(pred * true))
+        fp = int(np.sum(pred * (1 - true)))
+        fn = int(np.sum((1 - pred) * true))
+        denom = 2 * tp + fp + fn
+        return float(2 * tp / denom) if denom else 0.0
+    pred = np.argmax(logits, axis=-1)
+    return float((pred[mask] == labels[mask]).mean())

@@ -15,6 +15,38 @@ def test_synthetic_deterministic():
     assert not np.array_equal(a.senders, c.senders)
 
 
+def test_synthetic_deterministic_across_processes():
+    """The dataset bytes must not depend on the interpreter (Python's
+    str hash is process-salted; we use crc32 instead)."""
+    import subprocess
+    import sys
+
+    code = ("import hashlib; from gist_tpu.data import synthetic_dataset; "
+            "d = synthetic_dataset('synth-tiny', seed=0); "
+            "h = hashlib.sha256(); h.update(d.features.tobytes()); "
+            "h.update(d.senders.tobytes()); h.update(d.labels.tobytes()); "
+            "print(h.hexdigest())")
+    digests = set()
+    for _ in range(2):
+        out = subprocess.run([sys.executable, "-c", code], check=True,
+                             capture_output=True, text=True, cwd="/root/repo")
+        digests.add(out.stdout.strip().splitlines()[-1])
+    assert len(digests) == 1, digests
+
+
+def test_micro_f1_multitask():
+    from gist_tpu.models.common import micro_f1
+    logits = np.array([[1.0, -1.0, 2.0], [-1.0, 3.0, -2.0]])
+    labels = np.array([[1, 0, 0], [0, 1, 1]])
+    mask = np.ones(2, bool)
+    # preds: [1,0,1], [0,1,0]; TP=2 (cells 0,4), FP=1 (cell 2), FN=1 (cell 5)
+    assert micro_f1(logits, labels, mask, multitask=True) == \
+        pytest.approx(2 * 2 / (2 * 2 + 1 + 1))
+    # single-label path unchanged
+    sl_labels = np.array([2, 1])
+    assert micro_f1(logits, sl_labels, mask) == 1.0
+
+
 def test_synthetic_masks_disjoint():
     ds = synthetic_dataset("synth-cora")
     assert ds.n_nodes == 2708 and ds.n_classes == 7
