@@ -1,17 +1,23 @@
 """Benchmark entry — prints ONE JSON line with the headline metric.
 
 Headline (BASELINE.json): edges/sec/chip for the SpMM aggregation on a
-Reddit-shaped graph, using the Pallas gather+tiled-segment-reduce
-kernel (gist_tpu/ops/pallas_spmm.py); falls back to the XLA segment
-backend if the kernel can't compile.  ``vs_baseline`` is the fraction
-of the speed-of-light bound (each edge must read one F-wide source row
-from HBM once: E*F*4 bytes at ~810 GB/s), since the reference
-publishes no numbers (BASELINE.md).
+Reddit-shaped graph, using the Pallas block-dense dedup kernel
+(gist_tpu/ops/pallas_spmm.py v2); falls back to the XLA segment backend
+if the kernel can't compile.  ``vs_baseline`` is the fraction of the
+speed-of-light bound (each edge reads one F-wide fp32 source row from
+HBM once: E*F*4 bytes at ~810 GB/s) since the reference publishes no
+numbers (BASELINE.md).
 
-Measured context (v5e, E=2.33M, F=602): segment backend 70 ms
-(scatter-bound), pallas kernel 22 ms = the full 3-pass HBM traffic of
-the gather-then-reduce formulation.  Compile via this session's remote
-tunnel is slow (~18 min cold) — the kernel itself is the product.
+Extra keys in the same JSON object report the bf16 kernel, the XLA
+segment path, and the full GraphSAGE train step (fwd+bwd+Adam, hidden
+256) — the end-to-end number the kernel exists to improve.
+
+Timing: per-op wall clocks through this session's remote-execution
+tunnel are polluted by RTT and unreliable sync, so every measurement
+runs ``iters`` iterations inside ONE jitted lax.fori_loop and fetches a
+scalar (one honest sync per measurement).  Graphs travel as jit
+arguments — closed-over tile layouts would be embedded as HLO literals
+(100+ MB) and break remote compilation.
 """
 
 import json
@@ -21,23 +27,16 @@ import time
 import numpy as np
 
 
-def _measure(fn, x, iters=10):
-    import jax
-    fn(x).block_until_ready()
-    t0 = time.time()
-    for _ in range(iters):
-        r = fn(x)
-    r.block_until_ready()
-    return (time.time() - t0) / iters
-
-
 def main():
     import jax
     import jax.numpy as jnp
+    import optax
 
     from gist_tpu.data import synthetic_dataset
     from gist_tpu.graph import graph_from_edges
-    from gist_tpu.ops.spmm import spmm_segment
+    from gist_tpu.models import sage
+    from gist_tpu.models.common import masked_cross_entropy
+    from gist_tpu.ops.spmm import set_default_backend, spmm_segment
 
     fast = os.environ.get("GIST_BENCH_FAST", "") == "1"
     ds = synthetic_dataset("synth-reddit-small")
@@ -45,28 +44,93 @@ def main():
                          tiles=not fast)
     x = jnp.asarray(ds.features)
     E, F = g.n_edges, ds.in_feats
+    sol = 8.1e11 / (F * 4.0)  # speed-of-light edges/s: one row read/edge
 
+    def loop_time(fn, g, x, iters):
+        @jax.jit
+        def run(g, x):
+            def body(i, acc):
+                y = fn(g, x + (i.astype(x.dtype)
+                               * jnp.asarray(1e-9, x.dtype)))
+                return acc + y[0, 0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+        float(run(g, x))  # compile + warm
+        t0 = time.time()
+        float(run(g, x))
+        return (time.time() - t0) / iters
+
+    extras = {}
     backend = "segment"
     dt = None
     if not fast:
         try:
             from gist_tpu.ops.pallas_spmm import spmm_pallas_csr
-            f_pal = jax.jit(lambda x: spmm_pallas_csr(g, x))
-            dt = _measure(f_pal, x)
-            backend = "pallas"
-        except Exception:
+            dt = loop_time(spmm_pallas_csr, g, x, iters=20)
+            backend = "pallas-dedup" if g.dedup is not None else "pallas"
+            dtb = loop_time(spmm_pallas_csr, g,
+                            x.astype(jnp.bfloat16), iters=20)
+            extras["bf16_edges_per_sec"] = round(E / dtb, 1)
+            extras["bf16_ms"] = round(dtb * 1e3, 2)
+        except Exception as e:  # fall back to the XLA path
+            extras["pallas_error"] = f"{type(e).__name__}: {e}"[:200]
             dt = None
+    dt_seg = loop_time(spmm_segment, g, x, iters=5)
+    extras["segment_ms"] = round(dt_seg * 1e3, 2)
     if dt is None:
-        f_seg = jax.jit(lambda x: spmm_segment(g, x))
-        dt = _measure(f_seg, x)
+        dt, backend = dt_seg, "segment"
+
+    # end-to-end: full SAGE train step (fwd + bwd + Adam), hidden 256
+    if not fast:
+        try:
+            cfg = sage.SAGEConfig(F, 256, ds.n_classes, n_layers=2,
+                                  dropout=0.0)
+            params = sage.init(jax.random.PRNGKey(0), cfg)
+            opt = optax.adam(1e-2)
+            labels = jnp.asarray(ds.labels)
+            mask = jnp.asarray(ds.train_mask)
+
+            def make_step():
+                def step(g, params, opt_state):
+                    def loss_fn(p):
+                        logits = sage.apply(p, g, x, cfg)
+                        return masked_cross_entropy(logits, labels, mask)
+                    loss, grads = jax.value_and_grad(loss_fn)(params)
+                    updates, opt_state = opt.update(grads, opt_state)
+                    return optax.apply_updates(params, updates), opt_state
+
+                @jax.jit
+                def run(g, params, opt_state, iters):
+                    def body(_, c):
+                        return step(g, *c)
+                    return jax.lax.fori_loop(0, iters, body,
+                                             (params, opt_state))
+                return run
+
+            def time_step(iters=10):
+                run = make_step()
+                p, s = run(g, params, opt.init(params), iters)
+                float(jax.tree.leaves(p)[0][0, 0])
+                t0 = time.time()
+                p, s = run(g, params, opt.init(params), iters)
+                float(jax.tree.leaves(p)[0][0, 0])
+                return (time.time() - t0) / iters
+
+            set_default_backend("auto")  # pallas on this TPU
+            extras["train_step_ms"] = round(time_step() * 1e3, 2)
+            set_default_backend("segment")
+            extras["train_step_ms_segment"] = round(time_step() * 1e3, 2)
+            set_default_backend("auto")
+        except Exception as e:
+            extras["train_step_error"] = f"{type(e).__name__}: {e}"[:200]
 
     edges_per_sec = E / dt
-    sol = 8.1e11 / (F * 4.0)          # speed-of-light edges/s (one row read per edge)
     print(json.dumps({
-        "metric": f"edges/sec/chip (SpMM agg, {backend}, synth-reddit-small)",
+        "metric": f"edges/sec/chip (SpMM agg, {backend}, "
+                  f"synth-reddit-small)",
         "value": round(edges_per_sec, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_sec / sol, 4),
+        **extras,
     }))
 
 

@@ -19,10 +19,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    choices=["True", "False"])
     p.add_argument("--result-json", type=str, default=None,
                    help="write the result dict to this path as JSON")
-    p.add_argument("--spmm-backend", type=str, default="segment",
-                   choices=["segment", "pallas"],
-                   help="aggregation kernel (pallas needs tiles=True "
-                        "graphs; trainers opt in where supported)")
+    p.add_argument("--spmm-backend", type=str, default="auto",
+                   choices=["auto", "segment", "pallas"],
+                   help="aggregation kernel; auto = pallas on TPU "
+                        "hardware when the graph carries tiles, else "
+                        "the XLA segment path")
 
 
 def apply_backend(args) -> None:

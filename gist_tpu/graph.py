@@ -91,6 +91,128 @@ def _round_up_arr(x: np.ndarray, m: int) -> np.ndarray:
 
 
 @struct.dataclass
+class DedupTiles:
+    """Block-dense dedup layout for the Pallas SpMM kernel v2.
+
+    Round 1's kernel materialized one gathered message row *per edge*
+    (3x E*F HBM traffic).  Here each destination tile lists its *unique*
+    senders once (``u_senders``), and the local adjacency becomes small
+    dense count blocks ``w_blocks[j] : (TN, CU) int8`` pairing with the
+    j-th CU-row block of gathered unique rows — the aggregation is then
+    ``acc += W @ u`` on the MXU, no scatter and no per-edge gather.
+    Traffic drops to ~d * (3 E F) where d = |unique|/E, which cluster
+    ordering pushes to ~0.35 on Reddit-shaped graphs (hence ``pos``:
+    nodes are relabeled by a locality partition; ``pos[v]`` is node v's
+    row in kernel output order).
+    """
+
+    u_senders: jnp.ndarray    # (U_pad,) int32 — original x row per slot
+    w_blocks: jnp.ndarray     # (J, TN, CU) int8 — per-job count blocks
+    job_offsets: jnp.ndarray  # (num_tiles+1,) int32 — job index per tile
+    pos: Optional[jnp.ndarray]  # (N,) int32 node->output row, or None (id)
+    tile_rows: int = struct.field(pytree_node=False)   # TN
+    cu: int = struct.field(pytree_node=False)          # CU (u rows / block)
+    max_jobs: int = struct.field(pytree_node=False)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.job_offsets.shape[0] - 1
+
+
+def _locality_order(senders: np.ndarray, receivers: np.ndarray,
+                    n_nodes: int, tile_rows: int, seed: int = 0):
+    """Tile-sized cluster ordering (refined multilevel partition) so a
+    dst tile's senders are maximally repeated; returns (perm, pos)."""
+    psize = max(2, -(-n_nodes // tile_rows))
+    from gist_tpu.partition import get_partition_list
+    parts = get_partition_list(senders, receivers, n_nodes, psize, seed=seed)
+    perm = np.concatenate([p for p in parts if len(p)])
+    pos = np.empty(n_nodes, dtype=np.int64)
+    pos[perm] = np.arange(n_nodes)
+    return perm, pos
+
+
+def _build_dedup_tiles(senders: np.ndarray, receivers: np.ndarray,
+                       n_nodes: int, *, tile_rows: int = 128, cu: int = 1024,
+                       reorder: bool = True, seed: int = 0,
+                       max_w_bytes: int = 512 * 2 ** 20,
+                       pad_jobs_to: Optional[int] = None,
+                       pad_max_jobs_to: Optional[int] = None,
+                       ) -> Optional[DedupTiles]:
+    """Host-side build of the v2 layout; returns None when the layout
+    would be counterproductive (W blocks too large, count overflow)."""
+    senders = np.asarray(senders, dtype=np.int64)
+    receivers = np.asarray(receivers, dtype=np.int64)
+    pos = None
+    if reorder and n_nodes > 2 * tile_rows:
+        _, pos = _locality_order(senders, receivers, n_nodes, tile_rows,
+                                 seed=seed)
+        s = senders  # u_senders keep ORIGINAL ids (they index x directly)
+        r = pos[receivers]
+    else:
+        s, r = senders, receivers
+    order = np.argsort(r, kind="stable")
+    ss = senders[order]          # original sender ids
+    rr = r[order]                # (possibly permuted) receiver ids
+    counts = np.bincount(rr, minlength=n_nodes)[:n_nodes]
+    indptr = np.zeros(n_nodes + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+
+    num_tiles = -(-n_nodes // tile_rows)
+    u_chunks: list = []
+    w_chunks: list = []
+    job_offsets = np.zeros(num_tiles + 1, dtype=np.int64)
+    total_w = 0
+    for i in range(num_tiles):
+        a = indptr[min(i * tile_rows, n_nodes)]
+        b = indptr[min((i + 1) * tile_rows, n_nodes)]
+        seg_s = ss[a:b]
+        if len(seg_s) == 0:
+            job_offsets[i + 1] = job_offsets[i]
+            continue
+        uniq, inv = np.unique(seg_s, return_inverse=True)
+        njobs = -(-len(uniq) // cu)
+        u_pad = njobs * cu
+        u_arr = np.zeros(u_pad, dtype=np.int32)
+        u_arr[:len(uniq)] = uniq
+        t_local = rr[a:b] - i * tile_rows
+        key = ((inv // cu) * (tile_rows * cu) + t_local * cu + inv % cu)
+        w = np.bincount(key, minlength=njobs * tile_rows * cu)
+        if w.max(initial=0) > 127:
+            return None  # int8 count overflow (extreme multigraph)
+        w_chunks.append(w.astype(np.int8).reshape(njobs, tile_rows, cu))
+        u_chunks.append(u_arr)
+        job_offsets[i + 1] = job_offsets[i] + njobs
+        total_w += w_chunks[-1].nbytes
+        if total_w > max_w_bytes:
+            return None
+    if not u_chunks:
+        return None
+    w_blocks = np.concatenate(w_chunks, axis=0)
+    u_senders = np.concatenate(u_chunks)
+    max_jobs = int(np.diff(job_offsets).max())
+    if pad_jobs_to is not None:
+        # pad to a bucketed job count so cluster batches of one size
+        # bucket share a jit cache entry (padding jobs are never indexed:
+        # job_offsets is untouched and the kernel clamps)
+        if pad_jobs_to < w_blocks.shape[0]:
+            return None
+        extra = pad_jobs_to - w_blocks.shape[0]
+        w_blocks = np.concatenate(
+            [w_blocks, np.zeros((extra, tile_rows, cu), np.int8)], axis=0)
+        u_senders = np.concatenate(
+            [u_senders, np.zeros(extra * cu, np.int32)])
+    if pad_max_jobs_to is not None:
+        max_jobs = max(max_jobs, pad_max_jobs_to)
+    return DedupTiles(
+        u_senders=jnp.asarray(u_senders),
+        w_blocks=jnp.asarray(w_blocks),
+        job_offsets=jnp.asarray(job_offsets, dtype=jnp.int32),
+        pos=None if pos is None else jnp.asarray(pos, dtype=jnp.int32),
+        tile_rows=tile_rows, cu=cu, max_jobs=max_jobs)
+
+
+@struct.dataclass
 class Graph:
     """Padded COO+CSR graph.  All arrays int32; topology only (node/edge
     features travel separately, keeping this pytree cheap to donate).
@@ -113,10 +235,14 @@ class Graph:
     t_indptr: jnp.ndarray     # (N+1,) CSR offsets over t_receivers
     n_nodes: int = struct.field(pytree_node=False)
     n_edges: int = struct.field(pytree_node=False)
-    # Optional tile-aligned layouts for the Pallas SpMM kernel (forward
-    # and transpose/backward); built by with_tiles().
+    # Optional tile-aligned layouts for the Pallas SpMM kernels (forward
+    # and transpose/backward); built by with_tiles().  ``dedup`` is the
+    # v2 block-dense unique-sender layout (preferred); ``tiled`` the v1
+    # gather+segment-reduce layout (fallback).
     tiled: Optional["TiledCSR"] = None
     tiled_t: Optional["TiledCSR"] = None
+    dedup: Optional["DedupTiles"] = None
+    dedup_t: Optional["DedupTiles"] = None
 
     def transpose(self) -> "Graph":
         """Graph of A^T (senders/receivers swapped), sharing buffers."""
@@ -126,22 +252,38 @@ class Graph:
             out_degrees=self.in_degrees, t_senders=self.senders,
             t_receivers=self.receivers, t_indptr=self.indptr,
             n_nodes=self.n_nodes, n_edges=self.n_edges,
-            tiled=self.tiled_t, tiled_t=self.tiled)
+            tiled=self.tiled_t, tiled_t=self.tiled,
+            dedup=self.dedup_t, dedup_t=self.dedup)
 
     @property
     def n_edges_padded(self) -> int:
         return self.senders.shape[0]
 
-    def with_tiles(self, tile_rows: int = 128) -> "Graph":
+    def with_tiles(self, tile_rows: int = 128,
+                   mode: str = "dedup") -> "Graph":
         """Return a copy carrying the Pallas tile layouts (host-side
-        rebuild from the existing edge arrays); no-op if present."""
+        rebuild from the existing edge arrays); no-op if present.
+
+        ``mode="dedup"`` builds the v2 block-dense unique-sender layout
+        (falling back to the v1 gather layout when it declines);
+        ``mode="gather"`` forces v1.
+        """
+        s = np.asarray(self.senders[:self.n_edges]).astype(np.int64)
+        r = np.asarray(self.receivers[:self.n_edges]).astype(np.int64)
+        t_s = np.asarray(self.t_senders[:self.n_edges]).astype(np.int64)
+        t_r = np.asarray(self.t_receivers[:self.n_edges]).astype(np.int64)
+        if mode == "dedup":
+            if self.dedup is not None:
+                return self
+            d = _build_dedup_tiles(s, r, self.n_nodes, tile_rows=tile_rows)
+            d_t = None if d is None else _build_dedup_tiles(
+                t_s, t_r, self.n_nodes, tile_rows=tile_rows)
+            if d is not None and d_t is not None:
+                return self.replace(dedup=d, dedup_t=d_t)
+            # fall through to the v1 layout
         if self.tiled is not None:
             return self
-        s = np.asarray(self.senders[:self.n_edges])
-        r = np.asarray(self.receivers[:self.n_edges])
         indptr = np.asarray(self.indptr, dtype=np.int64)
-        t_s = np.asarray(self.t_senders[:self.n_edges])
-        t_r = np.asarray(self.t_receivers[:self.n_edges])
         t_indptr = np.asarray(self.t_indptr, dtype=np.int64)
         return self.replace(
             tiled=_build_tiled_csr(s.astype(np.int32), r.astype(np.int32),
@@ -165,6 +307,7 @@ def graph_from_edges(
     pad_to: Optional[int] = None,
     tiles: bool = False,
     tile_rows: int = 128,
+    tile_mode: str = "dedup",
 ) -> Graph:
     """Build a receiver-sorted padded Graph from a raw COO edge list.
 
@@ -204,16 +347,7 @@ def graph_from_edges(
     t_indptr = np.zeros(n_nodes + 1, dtype=np.int64)
     np.cumsum(out_counts, out=t_indptr[1:])
 
-    tiled = tiled_t = None
-    if tiles:
-        tiled = _build_tiled_csr(
-            senders.astype(np.int32), receivers.astype(np.int32), indptr,
-            n_nodes, tile_rows=tile_rows)
-        tiled_t = _build_tiled_csr(
-            t_senders.astype(np.int32), t_receivers.astype(np.int32),
-            t_indptr, n_nodes, tile_rows=tile_rows)
-
-    return Graph(
+    g = Graph(
         senders=jnp.asarray(senders_p, dtype=jnp.int32),
         receivers=jnp.asarray(receivers_p, dtype=jnp.int32),
         indptr=jnp.asarray(indptr, dtype=jnp.int32),
@@ -224,9 +358,10 @@ def graph_from_edges(
         t_indptr=jnp.asarray(t_indptr, dtype=jnp.int32),
         n_nodes=int(n_nodes),
         n_edges=n_edges,
-        tiled=tiled,
-        tiled_t=tiled_t,
     )
+    if tiles:
+        g = g.with_tiles(tile_rows=tile_rows, mode=tile_mode)
+    return g
 
 
 def add_self_loops(senders, receivers, n_nodes: int, *, dedup: bool = True):

@@ -43,11 +43,177 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gist_tpu.graph import Graph, TiledCSR
+from gist_tpu.graph import DedupTiles, Graph, TiledCSR
 
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# v2: block-dense dedup kernel (preferred path)
+#
+# Host-side (gist_tpu.graph.DedupTiles) each dst tile lists its UNIQUE
+# senders once; the local adjacency is dense int8 count blocks
+# W[j] : (TN, CU) paired 1:1 with CU-row blocks of gathered unique
+# source rows.  Phase 1 gathers |U| rows instead of E rows (|U|/E ~ 0.35
+# under cluster ordering), and the kernel is a plain blocked matmul
+# accumulation acc += W @ u — no scatter, no one-hot building, ~d * the
+# v1 HBM traffic.
+# ---------------------------------------------------------------------------
+
+
+def _dedup_kernel(job_offsets_ref,   # SMEM (num_tiles+1,) scalar prefetch
+                  w_ref,             # VMEM (1, TN, CU) int8 count block
+                  u_hi_ref,          # VMEM (CU, TF) bf16 hi (or sole) part
+                  u_lo_ref,          # VMEM (CU, TF) bf16 lo part (None: bf16)
+                  out_ref,           # VMEM (TN, TF) dst tile (revisited)
+                  acc0_ref,          # VMEM scratch (TN, TF) fp32
+                  acc1_ref):         # VMEM scratch (TN, TF) fp32
+    # Two accumulators alternating by job parity: consecutive grid steps
+    # write different scratch buffers, so their matmuls have no data
+    # dependency and the MXU pipeline never stalls on the accumulate.
+    i = pl.program_id(0)
+    c = pl.program_id(2)
+    njobs = job_offsets_ref[i + 1] - job_offsets_ref[i]
+
+    @pl.when(c == 0)
+    def _():
+        acc0_ref[...] = jnp.zeros_like(acc0_ref)
+        acc1_ref[...] = jnp.zeros_like(acc1_ref)
+
+    @pl.when(c < njobs)
+    def _():
+        w = w_ref[0].astype(jnp.bfloat16)        # counts <= 127: bf16-exact
+        u = u_hi_ref[...]
+        if u_lo_ref is not None or u.dtype == jnp.bfloat16:
+            contrib = jax.lax.dot(w, u, preferred_element_type=jnp.float32)
+            if u_lo_ref is not None:
+                contrib += jax.lax.dot(w, u_lo_ref[...],
+                                       preferred_element_type=jnp.float32)
+        else:
+            # fp32 block: split into hi + lo bf16 in-VMEM (the MXU runs
+            # fp32 dots at bf16 precision; W is bf16-exact, so two
+            # full-speed passes recover ~1e-5 relative error)
+            u = u.astype(jnp.float32)
+            hi = u.astype(jnp.bfloat16)
+            lo = (u - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            contrib = (jax.lax.dot(w, hi, preferred_element_type=jnp.float32)
+                       + jax.lax.dot(w, lo,
+                                     preferred_element_type=jnp.float32))
+
+        @pl.when(c % 2 == 0)
+        def _():
+            acc0_ref[...] += contrib
+
+        @pl.when(c % 2 == 1)
+        def _():
+            acc1_ref[...] += contrib
+
+    @pl.when(c == pl.num_programs(2) - 1)
+    def _():
+        out_ref[...] = (acc0_ref[...] + acc1_ref[...]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "cu", "max_jobs",
+                                             "f_tile", "out_dtype"))
+def _spmm_dedup_call(job_offsets, w_blocks, u_hi, u_lo, *,
+                     tile_rows: int, cu: int, max_jobs: int, f_tile: int,
+                     out_dtype):
+    TN, CU = tile_rows, cu
+    f = u_hi.shape[1]
+    num_tiles = job_offsets.shape[0] - 1
+    n_jobs_total = w_blocks.shape[0]
+    f_tiles = _cdiv(f, f_tile)
+    if f % f_tile:
+        pad = ((0, 0), (0, f_tiles * f_tile - f))
+        u_hi = jnp.pad(u_hi, pad)
+        u_lo = None if u_lo is None else jnp.pad(u_lo, pad)
+
+    def job_index(i, fi, c, offs):
+        # clamp into the tile's job range (skipped iterations repeat the
+        # previous block index so the pipeline elides the re-fetch);
+        # empty tiles clamp globally
+        first = offs[i]
+        last = jnp.maximum(offs[i + 1] - 1, first)
+        return jnp.minimum(jnp.minimum(first + c, last), n_jobs_total - 1)
+
+    u_spec = pl.BlockSpec(
+        (CU, f_tile),
+        lambda i, fi, c, offs: (job_index(i, fi, c, offs), fi),
+        memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(
+            (1, TN, CU),
+            lambda i, fi, c, offs: (job_index(i, fi, c, offs), 0, 0),
+            memory_space=pltpu.VMEM),
+        u_spec,
+    ]
+    operands = [job_offsets, w_blocks, u_hi]
+    if u_lo is not None:
+        in_specs.append(u_spec)
+        operands.append(u_lo)
+    kernel = functools.partial(_dedup_kernel) if u_lo is not None else \
+        (lambda offs, w, uh, out, a0, a1:
+         _dedup_kernel(offs, w, uh, None, out, a0, a1))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles, f_tiles, max_jobs),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((TN, f_tile),
+                               lambda i, fi, c, offs: (i, fi),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((TN, f_tile), jnp.float32),
+            pltpu.VMEM((TN, f_tile), jnp.float32),
+        ],
+    )
+    nbytes = u_hi.dtype.itemsize * (1 if u_lo is None else 2)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles * TN, f_tiles * f_tile),
+                                       out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_jobs_total * TN * CU * f
+            * (1 if u_lo is None else 2),
+            bytes_accessed=(n_jobs_total * (TN * CU + CU * f * nbytes)
+                            + num_tiles * TN * f * 4),
+            transcendentals=0,
+        ),
+    )(*operands)
+
+
+def _pick_f_tile_dedup(f: int, cu: int, tile_rows: int,
+                       itemsize: int) -> int:
+    """Largest feature tile keeping double-buffered u blocks + accs/out
+    within ~12 MiB of VMEM."""
+    budget = 12 * 2 ** 20
+    ft = f
+    while ft > 128 and (2 * cu * ft * itemsize
+                        + 3 * tile_rows * ft * 4) > budget:
+        ft = (ft + 1) // 2
+    return max(128, min(ft, f))
+
+
+def _run_dedup(t: DedupTiles, x: jnp.ndarray, n_nodes: int) -> jnp.ndarray:
+    if t.max_jobs == 0:
+        return jnp.zeros((n_nodes, x.shape[1]), x.dtype)
+    f = x.shape[1]
+    u_rows = jnp.take(x, t.u_senders, axis=0)        # (U_pad, F) phase 1
+    f_tile = _pick_f_tile_dedup(f, t.cu, t.tile_rows,
+                                u_rows.dtype.itemsize)
+    out = _spmm_dedup_call(t.job_offsets, t.w_blocks, u_rows, None,
+                           tile_rows=t.tile_rows, cu=t.cu,
+                           max_jobs=t.max_jobs, f_tile=f_tile,
+                           out_dtype=x.dtype)
+    if t.pos is not None:
+        return jnp.take(out, t.pos, axis=0)[:, :f]
+    return out[:n_nodes, :f]
 
 
 def _reduce_kernel(tile_offsets_ref,    # SMEM (num_tiles+1,) scalar prefetch
@@ -190,6 +356,8 @@ def spmm_pallas_csr(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
 def _spmm_forward(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
     if x.ndim != 2:
         raise NotImplementedError("pallas spmm expects (N, F) input")
+    if graph.dedup is not None:
+        return _run_dedup(graph.dedup, x, graph.n_nodes)
     if graph.tiled is None:
         raise NotImplementedError(
             "graph built without tiles=True; pallas backend unavailable")
@@ -201,9 +369,12 @@ def _spmm_fwd(graph, x):
 
 
 def _spmm_bwd(graph, g):
-    if graph.tiled_t is None:
+    if graph.dedup_t is not None:
+        dx = _run_dedup(graph.dedup_t, g, graph.n_nodes)
+    elif graph.tiled_t is not None:
+        dx = _run_tiled(graph.tiled_t, g, graph.n_nodes)
+    else:
         raise NotImplementedError("graph missing transpose tiles")
-    dx = _run_tiled(graph.tiled_t, g, graph.n_nodes)
     return None, dx
 
 

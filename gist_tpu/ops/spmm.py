@@ -25,13 +25,35 @@ import jax.numpy as jnp
 
 from gist_tpu.graph import Graph
 
-_DEFAULT_BACKEND = "segment"
+_DEFAULT_BACKEND = "auto"
 
 
 def set_default_backend(name: str) -> None:
     global _DEFAULT_BACKEND
-    assert name in ("segment", "pallas"), name
+    assert name in ("segment", "pallas", "auto"), name
     _DEFAULT_BACKEND = name
+
+
+def resolve_backend(graph: Optional[Graph] = None,
+                    backend: Optional[str] = None) -> str:
+    """``auto`` (the default) selects the Pallas kernel whenever the
+    graph carries a tile layout and we are on real TPU hardware; CPU
+    (tests, dry runs) and tile-less graphs use the XLA segment path."""
+    backend = backend or _DEFAULT_BACKEND
+    if backend != "auto":
+        return backend
+    has_tiles = graph is not None and (graph.dedup is not None
+                                       or graph.tiled is not None)
+    return "pallas" if has_tiles and jax.default_backend() == "tpu" \
+        else "segment"
+
+
+def tiles_wanted() -> bool:
+    """Should graph builders pay the host-side tile-layout cost?  True
+    when the active backend could consume them (pallas, or auto on TPU)."""
+    if _DEFAULT_BACKEND == "pallas":
+        return True
+    return _DEFAULT_BACKEND == "auto" and jax.default_backend() == "tpu"
 
 
 def spmm_segment(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
@@ -100,7 +122,7 @@ def aggregate(
 ) -> jnp.ndarray:
     """Aggregate neighbor features, optionally scaling rows by ``norm``
     afterwards (the ``ah * norm`` step of cluster_gcn/modules.py:226)."""
-    backend = backend or _DEFAULT_BACKEND
+    backend = resolve_backend(graph, backend)
     if backend == "pallas":
         try:
             out = spmm_pallas(graph, x)

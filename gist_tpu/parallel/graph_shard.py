@@ -6,23 +6,31 @@ each device owns a contiguous relabeled node range, its nodes'
 features, and all edges whose *receiver* it owns.  Aggregation:
 
   1. every device gathers the boundary rows its peers need
-     (``send_idx``, precomputed host-side) — one gather;
-  2. one ``all_to_all`` over the mesh axis exchanges the halo blocks
-     (rides ICI; block sizes padded to the max halo so shapes are
-     static);
+     (``ring_send_idx``, precomputed host-side);
+  2. the halo moves over the mesh axis — by default a ``ppermute``
+     *ring*: D-1 shifts, each padded only to that shift's own max halo
+     (locality-ordered partitions put most cut edges on adjacent
+     shards, so far shifts are nearly empty and the wire carries ~the
+     ideal volume; the round-1 ``all_to_all`` padded every (i,j) block
+     to the GLOBAL max and shipped a useless self-block);
   3. local SpMM over ``[x_local ; halo]`` with pre-remapped sender
-     indices — no further communication.
+     indices — no further communication.  Interior edges don't depend
+     on the collective, so their SpMM hides the wire latency.
 
-Comm volume per step = sum of cut-edge-unique boundary rows, vs the
-reference's every-rank-holds-everything (no exchange, full replication
-— ist_distrib.py:482-517).  This is the framework's new scaling axis
-(BASELINE.md north star).
+``ShardedGraph.comm_stats`` reports ideal vs on-wire rows for both
+layouts (the ≥80% scaling-efficiency north star needs the accounting,
+BASELINE.md).  Host-side build is vectorized (one sort over cross
+edges), not the O(D²) per-pair ``np.unique`` loop of round 1.
+
+Reference contrast: every rank holds the whole graph and exchanges
+nothing (ist_distrib.py:482-517) — this module is the framework's new
+scaling axis.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,38 +47,98 @@ def _round_up(x: int, m: int) -> int:
 class ShardedGraph:
     """All arrays carry a leading (D,) device axis, sharded over the
     ``graph`` mesh axis by the caller.  Sender indices address the
-    per-device ``[x_local (n_loc_pad) ; halo (D * halo_pad)]`` stack."""
+    per-device ``[x_local (n_loc_pad) ; halo]`` stack; the halo layout
+    depends on the exchange (ring: concat of per-shift blocks;
+    all_to_all: D blocks of halo_pad)."""
 
-    senders: jnp.ndarray      # (D, E_pad) int32
+    senders: jnp.ndarray      # (D, E_pad) int32 (a2a halo layout)
     receivers: jnp.ndarray    # (D, E_pad) int32; padding == n_loc_pad
-    send_idx: jnp.ndarray     # (D, D, halo_pad) int32 local rows to send
+    send_idx: jnp.ndarray     # (D, D, halo_pad) int32 rows to send (a2a)
+    ring_send_idx: Tuple[jnp.ndarray, ...]  # per kept shift: (D, pad_k)
     in_degrees: jnp.ndarray   # (D, n_loc_pad) float32 (true degree)
     out_degrees: jnp.ndarray  # (D, n_loc_pad) float32
     node_perm: jnp.ndarray    # (N,) original -> shard order
     # interior/boundary split of the same edges (for overlapping the
-    # halo all_to_all with the interior SpMM): interior senders index
-    # x_local, boundary senders index the halo stack (offset removed)
+    # halo exchange with the interior SpMM): interior senders index
+    # x_local; boundary senders index the halo (layout per variant)
     int_senders: jnp.ndarray  # (D, Ei_pad)
     int_receivers: jnp.ndarray
-    bnd_senders: jnp.ndarray  # (D, Eb_pad) — index into halo (D*halo_pad)
+    bnd_senders: jnp.ndarray       # (D, Eb_pad) — a2a halo positions
     bnd_receivers: jnp.ndarray
+    ring_bnd_senders: jnp.ndarray  # (D, Eb_pad) — ring halo positions
     n_nodes: int = struct.field(pytree_node=False)      # original N
     n_devices: int = struct.field(pytree_node=False)
     n_loc_pad: int = struct.field(pytree_node=False)
     halo_pad: int = struct.field(pytree_node=False)
     n_edges: int = struct.field(pytree_node=False)
+    ideal_halo_rows: int = struct.field(pytree_node=False)
+    # shifts with at least one needed row (empty shifts ship nothing)
+    ring_shifts: Tuple[int, ...] = struct.field(pytree_node=False,
+                                                default=())
 
     @property
     def total_rows(self) -> int:
         return self.n_devices * self.n_loc_pad
+
+    @property
+    def ring_pads(self) -> Tuple[int, ...]:
+        return tuple(int(a.shape[1]) for a in self.ring_send_idx)
+
+    def comm_stats(self, f: int = 1, itemsize: int = 4) -> dict:
+        """Rows/bytes on the wire per aggregation vs the ideal (each
+        needed boundary row moved exactly once)."""
+        D = self.n_devices
+        ideal = self.ideal_halo_rows
+        ring_rows = D * sum(self.ring_pads)
+        a2a_rows = D * D * self.halo_pad
+        row_b = f * itemsize
+        return {
+            "ideal_rows": ideal,
+            "ring_rows": ring_rows,
+            "a2a_rows": a2a_rows,
+            "ring_waste": ring_rows / max(ideal, 1),
+            "a2a_waste": a2a_rows / max(ideal, 1),
+            "ideal_bytes": ideal * row_b,
+            "ring_bytes": ring_rows * row_b,
+            "a2a_bytes": a2a_rows * row_b,
+        }
+
+
+def _chain_order_parts(senders, receivers, n_nodes,
+                       parts: List[np.ndarray]) -> List[np.ndarray]:
+    """Renumber parts so heavily-communicating pairs get nearby device
+    ids (nearest-neighbor chain over the inter-part edge-count graph).
+    The ring exchange pads per SHIFT, so concentrating halo weight on
+    small |i-j| makes far shifts empty and droppable."""
+    D = len(parts)
+    if D <= 2:
+        return parts
+    owner = np.empty(n_nodes, dtype=np.int64)
+    for d, p in enumerate(parts):
+        owner[p] = d
+    so, ro = owner[np.asarray(senders)], owner[np.asarray(receivers)]
+    cross = so != ro
+    C = np.bincount(ro[cross] * D + so[cross], minlength=D * D) \
+        .reshape(D, D).astype(np.int64)
+    C = C + C.T
+    # start from the weakest-connected part (an "end" of the chain)
+    order = [int(np.argmin(C.sum(1)))]
+    seen = {order[0]}
+    while len(order) < D:
+        last = order[-1]
+        cand = [(int(C[last, j]), -j) for j in range(D) if j not in seen]
+        best = -max(cand)[1]
+        order.append(best)
+        seen.add(best)
+    return [parts[j] for j in order]
 
 
 def build_sharded_graph(senders, receivers, n_nodes: int, n_devices: int,
                         *, parts: Optional[List[np.ndarray]] = None,
                         seed: int = 0) -> ShardedGraph:
     """Host-side preprocessing.  ``parts`` (optional) is a list of
-    n_devices disjoint node-id arrays; defaults to the BFS partitioner.
-    """
+    n_devices disjoint node-id arrays; defaults to the refined
+    multilevel partitioner."""
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
     D = n_devices
@@ -78,8 +146,9 @@ def build_sharded_graph(senders, receivers, n_nodes: int, n_devices: int,
         from gist_tpu.partition import get_partition_list
         parts = get_partition_list(senders, receivers, n_nodes, D, seed=seed)
     assert len(parts) == D
+    parts = _chain_order_parts(senders, receivers, n_nodes, parts)
 
-    # relabel: device d owns new ids [d*n_loc_pad, d*n_loc_pad + len(parts[d]))
+    # relabel: device d owns new ids [d*n_loc_pad, d*n_loc_pad+len(parts[d]))
     n_loc_pad = _round_up(max(max(len(p) for p in parts), 1), 8)
     perm = np.full(n_nodes, -1, dtype=np.int64)       # old -> new
     owner = np.empty(n_nodes, dtype=np.int64)
@@ -90,55 +159,89 @@ def build_sharded_graph(senders, receivers, n_nodes: int, n_devices: int,
         local_of[p] = np.arange(len(p))
     assert (perm >= 0).all(), "parts must cover all nodes"
 
+    s_owner = owner[senders]
     e_owner = owner[receivers]
-    # halo needs: unique remote senders per (dst_device, src_device)
-    need: List[List[np.ndarray]] = [[None] * D for _ in range(D)]
-    halo_max = 1
-    for i in range(D):
-        mask_i = e_owner == i
-        s_i = senders[mask_i]
-        for j in range(D):
-            remote = np.unique(local_of[s_i[(owner[s_i] == j)
-                                            & (owner[s_i] != i)]])
-            need[i][j] = remote
-            halo_max = max(halo_max, len(remote))
-    halo_pad = _round_up(halo_max, 8)
+    cross = s_owner != e_owner
 
+    # --- vectorized halo-need build: one sort over cross edges --------
+    # key = ((dst_dev * D) + src_dev) * n_loc_pad + src_local
+    ckey = ((e_owner[cross] * D + s_owner[cross]) * n_loc_pad
+            + local_of[senders[cross]])
+    uniq = np.unique(ckey)                       # sorted
+    u_pair = uniq // n_loc_pad                   # dst*D + src
+    u_local = uniq % n_loc_pad
+    pair_start = np.searchsorted(u_pair, np.arange(D * D))
+    pair_end = np.searchsorted(u_pair, np.arange(D * D), side="right")
+    pair_cnt = (pair_end - pair_start).reshape(D, D)   # [i, j] = |need i<-j|
+    ideal_halo_rows = int(len(uniq))
+
+    # position of every cross edge's sender within its pair's need list
+    e_upos = np.searchsorted(uniq, ckey)
+    e_pair_pos = e_upos - pair_start[ckey // n_loc_pad]
+
+    # a2a layout: per-pair blocks all padded to the global max
+    halo_pad = _round_up(max(int(pair_cnt.max()), 1), 8)
     send_idx = np.zeros((D, D, halo_pad), dtype=np.int64)
     for i in range(D):
         for j in range(D):
-            send_idx[j, i, :len(need[i][j])] = need[i][j]
+            a, b = pair_start[i * D + j], pair_end[i * D + j]
+            send_idx[j, i, :b - a] = u_local[a:b]
 
-    # per-device edge lists with remapped senders, plus the
-    # interior/boundary split used to overlap comm and compute
-    e_pad = _round_up(max(int((e_owner == i).sum()) for i in range(D)) or 1, 8)
+    # ring layout: shift k moves need[(j+k)%D <- j]; pad per shift to
+    # its own exact max; shifts with no needed rows are dropped entirely
+    ring_shifts = []
+    ring_send = []
+    ring_off = np.zeros(D, dtype=np.int64)       # halo offset by shift k
+    acc = 0
+    for k in range(1, D):
+        pk = max(int(pair_cnt[(j + k) % D, j]) for j in range(D))
+        if pk == 0:
+            continue
+        blk = np.zeros((D, pk), dtype=np.int64)
+        for j in range(D):
+            i = (j + k) % D
+            a, b = pair_start[i * D + j], pair_end[i * D + j]
+            blk[j, :b - a] = u_local[a:b]
+        ring_shifts.append(k)
+        ring_send.append(blk)
+        ring_off[k] = acc
+        acc += pk
+
+    # --- per-device edge lists with remapped senders ------------------
+    e_local = np.where(cross, -1, local_of[senders])
+    # halo positions for cross edges, both layouts
+    src_j = s_owner
+    a2a_halo_pos = np.zeros(len(senders), dtype=np.int64)
+    ring_halo_pos = np.zeros(len(senders), dtype=np.int64)
+    if cross.any():
+        cj = src_j[cross]
+        ci = e_owner[cross]
+        a2a_halo_pos[cross] = cj * halo_pad + e_pair_pos
+        kshift = (ci - cj) % D
+        ring_halo_pos[cross] = ring_off[kshift] + e_pair_pos
+
+    e_pad = _round_up(max(int((e_owner == i).sum()) for i in range(D)) or 1,
+                      8)
     s_out = np.zeros((D, e_pad), dtype=np.int64)
     r_out = np.full((D, e_pad), n_loc_pad, dtype=np.int64)
-    int_s, int_r, bnd_s, bnd_r = [], [], [], []
+    int_s, int_r, bnd_s, bnd_r, rbnd_s = [], [], [], [], []
     for i in range(D):
         mask_i = e_owner == i
-        s_i, r_i = senders[mask_i], receivers[mask_i]
-        local_senders = np.empty(len(s_i), dtype=np.int64)
-        is_local = owner[s_i] == i
-        local_senders[is_local] = local_of[s_i[is_local]]
-        for j in range(D):
-            m = (owner[s_i] == j) & ~is_local
-            if not m.any():
-                continue
-            # position of each sender in need[i][j] (sorted unique)
-            pos = np.searchsorted(need[i][j], local_of[s_i[m]])
-            local_senders[m] = n_loc_pad + j * halo_pad + pos
+        r_i = local_of[receivers[mask_i]]
+        is_local = ~cross[mask_i]
+        loc_senders = np.where(is_local, e_local[mask_i],
+                               n_loc_pad + a2a_halo_pos[mask_i])
         # sort by receiver for segment_sum's sorted fast path
-        order = np.argsort(local_of[r_i], kind="stable")
-        cnt = len(s_i)
-        s_out[i, :cnt] = local_senders[order]
-        r_out[i, :cnt] = local_of[r_i][order]
+        order = np.argsort(r_i, kind="stable")
+        cnt = int(mask_i.sum())
+        s_out[i, :cnt] = loc_senders[order]
+        r_out[i, :cnt] = r_i[order]
         loc_sorted = is_local[order]
-        ss, rr = s_out[i, :cnt], r_out[i, :cnt]
-        int_s.append(ss[loc_sorted])
-        int_r.append(rr[loc_sorted])
-        bnd_s.append(ss[~loc_sorted] - n_loc_pad)  # index into halo stack
-        bnd_r.append(rr[~loc_sorted])
+        int_s.append(e_local[mask_i][order][loc_sorted])
+        int_r.append(r_i[order][loc_sorted])
+        bnd_s.append(a2a_halo_pos[mask_i][order][~loc_sorted])
+        bnd_r.append(r_i[order][~loc_sorted])
+        rbnd_s.append(ring_halo_pos[mask_i][order][~loc_sorted])
 
     ei_pad = _round_up(max(len(a) for a in int_s) or 1, 8)
     eb_pad = _round_up(max(len(a) for a in bnd_s) or 1, 8)
@@ -146,11 +249,13 @@ def build_sharded_graph(senders, receivers, n_nodes: int, n_devices: int,
     int_r_out = np.full((D, ei_pad), n_loc_pad, dtype=np.int64)
     bnd_s_out = np.zeros((D, eb_pad), dtype=np.int64)
     bnd_r_out = np.full((D, eb_pad), n_loc_pad, dtype=np.int64)
+    rbnd_s_out = np.zeros((D, eb_pad), dtype=np.int64)
     for i in range(D):
         int_s_out[i, :len(int_s[i])] = int_s[i]
         int_r_out[i, :len(int_r[i])] = int_r[i]
         bnd_s_out[i, :len(bnd_s[i])] = bnd_s[i]
         bnd_r_out[i, :len(bnd_r[i])] = bnd_r[i]
+        rbnd_s_out[i, :len(rbnd_s[i])] = rbnd_s[i]
 
     # degrees in shard order (true degrees of the full graph)
     in_deg = np.bincount(receivers, minlength=n_nodes).astype(np.float32)
@@ -165,6 +270,7 @@ def build_sharded_graph(senders, receivers, n_nodes: int, n_devices: int,
         senders=jnp.asarray(s_out, jnp.int32),
         receivers=jnp.asarray(r_out, jnp.int32),
         send_idx=jnp.asarray(send_idx, jnp.int32),
+        ring_send_idx=tuple(jnp.asarray(b, jnp.int32) for b in ring_send),
         in_degrees=jnp.asarray(in_deg_sh),
         out_degrees=jnp.asarray(out_deg_sh),
         node_perm=jnp.asarray(perm, jnp.int32),
@@ -172,8 +278,11 @@ def build_sharded_graph(senders, receivers, n_nodes: int, n_devices: int,
         int_receivers=jnp.asarray(int_r_out, jnp.int32),
         bnd_senders=jnp.asarray(bnd_s_out, jnp.int32),
         bnd_receivers=jnp.asarray(bnd_r_out, jnp.int32),
+        ring_bnd_senders=jnp.asarray(rbnd_s_out, jnp.int32),
         n_nodes=n_nodes, n_devices=D, n_loc_pad=n_loc_pad,
-        halo_pad=halo_pad, n_edges=int(senders.shape[0]))
+        halo_pad=halo_pad, n_edges=int(senders.shape[0]),
+        ideal_halo_rows=ideal_halo_rows,
+        ring_shifts=tuple(ring_shifts))
 
 
 def shard_features(sg: ShardedGraph, x, mesh: Mesh):
@@ -191,9 +300,28 @@ def unshard(sg: ShardedGraph, y) -> jnp.ndarray:
     return jnp.take(y, sg.node_perm, axis=0)
 
 
+def _ring_halo(sg: ShardedGraph, x_loc, ring_send_local):
+    """One ppermute per non-empty shift; returns the concatenated halo
+    rows in shift order (matching ``ring_bnd_senders``).  Each shift's
+    block is padded only to that shift's own max — locality-ordered
+    partitions make far shifts empty (dropped host-side), so the wire
+    carries near-ideal volume (vs every (i,j) block padded to the
+    global max in the all_to_all layout)."""
+    D = sg.n_devices
+    blocks = []
+    for k, send_idx in zip(sg.ring_shifts, ring_send_local):
+        send = jnp.take(x_loc, send_idx, axis=0)
+        perm = [(j, (j + k) % D) for j in range(D)]
+        blocks.append(jax.lax.ppermute(send, "graph", perm))
+    if not blocks:
+        return jnp.zeros((8, x_loc.shape[-1]), x_loc.dtype)
+    return jnp.concatenate(blocks, axis=0)
+
+
 def _local_agg(sg: ShardedGraph, x_loc, send_idx_me, senders, receivers):
-    """Per-device body: halo exchange + local SpMM.  Runs inside
-    shard_map; all args have their leading device axis stripped."""
+    """Per-device body: all_to_all halo exchange + local SpMM (the
+    simple variant kept for tests/reference).  Runs inside shard_map;
+    args have their leading device axis stripped."""
     D, H = sg.n_devices, sg.halo_pad
     f = x_loc.shape[-1]
     send = jnp.take(x_loc, send_idx_me.reshape(-1), axis=0)
@@ -206,58 +334,85 @@ def _local_agg(sg: ShardedGraph, x_loc, send_idx_me, senders, receivers):
                                indices_are_sorted=True)
 
 
-def _local_agg_overlapped(sg: ShardedGraph, x_loc, send_idx_me,
-                          int_senders, int_receivers,
-                          bnd_senders, bnd_receivers):
-    """Same result as :func:`_local_agg`, but the interior-edge SpMM is
-    data-independent of the all_to_all, so XLA's latency-hiding
-    scheduler can run it while the halo is on the wire; only the (much
-    smaller) boundary-edge SpMM waits for the collective."""
-    D, H = sg.n_devices, sg.halo_pad
-    f = x_loc.shape[-1]
-    send = jnp.take(x_loc, send_idx_me.reshape(-1), axis=0)
-    send = send.reshape(D, H, f)
-    halo = jax.lax.all_to_all(send, "graph", split_axis=0, concat_axis=0)
+def _local_agg_ring(sg: ShardedGraph, x_loc, ring_send_local,
+                    int_senders, int_receivers, bnd_senders,
+                    bnd_receivers):
+    """Ring halo exchange + interior/boundary split: the interior-edge
+    SpMM is data-independent of the ppermutes, so XLA's latency-hiding
+    scheduler runs it while halos are on the wire; only the (much
+    smaller) boundary-edge SpMM waits."""
+    halo = _ring_halo(sg, x_loc, ring_send_local)
     interior = jax.ops.segment_sum(
         jnp.take(x_loc, int_senders, axis=0), int_receivers,
         num_segments=sg.n_loc_pad, indices_are_sorted=True)
     boundary = jax.ops.segment_sum(
-        jnp.take(halo.reshape(D * H, f), bnd_senders, axis=0),
-        bnd_receivers, num_segments=sg.n_loc_pad,
-        indices_are_sorted=True)
+        jnp.take(halo, bnd_senders, axis=0), bnd_receivers,
+        num_segments=sg.n_loc_pad, indices_are_sorted=True)
     return interior + boundary
 
 
 def sharded_aggregate(sg: ShardedGraph, mesh: Mesh,
-                      overlapped: bool = True):
+                      overlapped: bool = True, ring: bool = True):
     """Returns jitted ``agg(x_sharded) -> y_sharded`` ((D*n_loc_pad, F)
-    in, same out), the distributed ``out[r] = sum x[s]``.
-    ``overlapped`` uses the interior/boundary edge split so the halo
-    collective hides behind the interior SpMM."""
+    in, same out), the distributed ``out[r] = sum x[s]``.  Default is
+    the ring exchange with the interior/boundary overlap; ``ring=False``
+    uses the round-1 all_to_all layout (kept as a reference point)."""
+
+    if ring and sg.n_devices > 1:
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P("graph", None),
+                           tuple(P("graph") for _ in sg.ring_send_idx),
+                           P("graph"), P("graph"), P("graph"), P("graph")),
+                 out_specs=P("graph", None),
+                 check_vma=False)
+        def agg_ring(x_loc, ring_send, int_s, int_r, bnd_s, bnd_r):
+            return _local_agg_ring(sg, x_loc,
+                                   tuple(b[0] for b in ring_send),
+                                   int_s[0], int_r[0], bnd_s[0], bnd_r[0])
+
+        def run(x_sharded):
+            return agg_ring(x_sharded, sg.ring_send_idx, sg.int_senders,
+                            sg.int_receivers, sg.ring_bnd_senders,
+                            sg.bnd_receivers)
+        return jax.jit(run)
+
+    if overlapped and sg.n_devices > 1:
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P("graph", None), P("graph"), P("graph"),
+                           P("graph"), P("graph"), P("graph")),
+                 out_specs=P("graph", None),
+                 check_vma=False)
+        def agg_ov(x_loc, send_idx, int_s, int_r, bnd_s, bnd_r):
+            D, H = sg.n_devices, sg.halo_pad
+            f = x_loc.shape[-1]
+            send = jnp.take(x_loc, send_idx[0].reshape(-1), axis=0)
+            send = send.reshape(D, H, f)
+            halo = jax.lax.all_to_all(send, "graph", split_axis=0,
+                                      concat_axis=0)
+            interior = jax.ops.segment_sum(
+                jnp.take(x_loc, int_s[0], axis=0), int_r[0],
+                num_segments=sg.n_loc_pad, indices_are_sorted=True)
+            boundary = jax.ops.segment_sum(
+                jnp.take(halo.reshape(D * H, f), bnd_s[0], axis=0),
+                bnd_r[0], num_segments=sg.n_loc_pad,
+                indices_are_sorted=True)
+            return interior + boundary
+
+        def run(x_sharded):
+            return agg_ov(x_sharded, sg.send_idx, sg.int_senders,
+                          sg.int_receivers, sg.bnd_senders,
+                          sg.bnd_receivers)
+        return jax.jit(run)
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P("graph", None), P("graph"), P("graph"), P("graph")),
+             in_specs=(P("graph", None), P("graph"), P("graph"),
+                       P("graph")),
              out_specs=P("graph", None),
              check_vma=False)
     def agg(x_loc, send_idx, senders, receivers):
         return _local_agg(sg, x_loc, send_idx[0], senders[0], receivers[0])
 
-    @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P("graph", None), P("graph"), P("graph"), P("graph"),
-                       P("graph"), P("graph")),
-             out_specs=P("graph", None),
-             check_vma=False)
-    def agg_ov(x_loc, send_idx, int_s, int_r, bnd_s, bnd_r):
-        return _local_agg_overlapped(sg, x_loc, send_idx[0], int_s[0],
-                                     int_r[0], bnd_s[0], bnd_r[0])
-
-    if overlapped:
-        def run(x_sharded):
-            return agg_ov(x_sharded, sg.send_idx, sg.int_senders,
-                          sg.int_receivers, sg.bnd_senders,
-                          sg.bnd_receivers)
-    else:
-        def run(x_sharded):
-            return agg(x_sharded, sg.send_idx, sg.senders, sg.receivers)
+    def run(x_sharded):
+        return agg(x_sharded, sg.send_idx, sg.senders, sg.receivers)
 
     return jax.jit(run)

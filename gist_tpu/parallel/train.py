@@ -22,7 +22,7 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gist_tpu.models.layers import layer_norm
-from gist_tpu.parallel.graph_shard import ShardedGraph, _local_agg
+from gist_tpu.parallel.graph_shard import ShardedGraph, _local_agg_ring
 from gist_tpu.train.common import make_optimizer
 
 
@@ -30,9 +30,9 @@ def device_arrays(sg: ShardedGraph) -> dict:
     """The per-device array bundle every sharded step needs, passed as
     one pytree with in_spec P("graph") (leading device axis sharded)."""
     return {
-        "send_idx": sg.send_idx,
+        "ring_send": sg.ring_send_idx,
         "int_s": sg.int_senders, "int_r": sg.int_receivers,
-        "bnd_s": sg.bnd_senders, "bnd_r": sg.bnd_receivers,
+        "bnd_s": sg.ring_bnd_senders, "bnd_r": sg.bnd_receivers,
         "in_deg": sg.in_degrees,
     }
 
@@ -41,17 +41,15 @@ def sharded_sage_forward(sg: ShardedGraph, params: dict, x_loc, dev,
                          *, use_layernorm: bool = True):
     """Per-device SAGE stack forward (inside shard_map).  ``dev`` is the
     local slice of :func:`device_arrays` (leading axis stripped).  Every
-    layer's halo all_to_all overlaps with its interior-edge SpMM
-    (graph_shard._local_agg_overlapped)."""
-    from gist_tpu.parallel.graph_shard import _local_agg_overlapped
-
+    layer's ring halo exchange overlaps with its interior-edge SpMM
+    (graph_shard._local_agg_ring)."""
     inv = jnp.where(dev["in_deg"] > 0,
                     1.0 / jnp.maximum(dev["in_deg"], 1.0), 0.0)[:, None]
     h = x_loc
     n = len(params["layers"])
     for i, layer in enumerate(params["layers"]):
-        ah = _local_agg_overlapped(
-            sg, h, dev["send_idx"], dev["int_s"], dev["int_r"],
+        ah = _local_agg_ring(
+            sg, h, dev["ring_send"], dev["int_s"], dev["int_r"],
             dev["bnd_s"], dev["bnd_r"]) * inv
         h = jnp.concatenate([h, ah], axis=1)
         h = h @ layer["w"] + layer["b"]

@@ -24,16 +24,19 @@ from gist_tpu.partition.greedy import greedy_partition
 
 
 def get_partition_list(senders, receivers, n_nodes, psize,
-                       cache_dir=None, name=None, seed=0):
+                       cache_dir=None, name=None, seed=0, method="refined"):
     """Split nodes into ``psize`` clusters; returns list of int64 arrays.
 
-    Mirrors partition_utils.get_partition_list + sampler.py's .npy cache.
+    ``method="refined"`` (default) is the multilevel C++ partitioner
+    (HEM coarsening + k-way boundary refinement, partition.cpp);
+    ``"bfs"`` is single-level BFS graph growing.  Mirrors
+    partition_utils.get_partition_list + sampler.py's .npy cache.
     """
     if cache_dir and name:
-        path = os.path.join(cache_dir, f"{name}_{psize}.npy")
+        path = os.path.join(cache_dir, f"{name}_{psize}_{method}.npy")
         if os.path.exists(path):
             return list(np.load(path, allow_pickle=True))
-    parts = _partition(senders, receivers, n_nodes, psize, seed)
+    parts = _partition(senders, receivers, n_nodes, psize, seed, method)
     if cache_dir and name:
         os.makedirs(cache_dir, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".npy")
@@ -43,9 +46,17 @@ def get_partition_list(senders, receivers, n_nodes, psize,
     return parts
 
 
-def _partition(senders, receivers, n_nodes, psize, seed):
+def _partition(senders, receivers, n_nodes, psize, seed, method="refined"):
     try:
-        from gist_tpu.partition.native import native_partition
+        from gist_tpu.partition.native import (native_partition,
+                                               native_refined_partition)
+        if method == "refined":
+            return native_refined_partition(senders, receivers, n_nodes,
+                                            psize, seed)
         return native_partition(senders, receivers, n_nodes, psize, seed)
     except (ImportError, OSError):
-        return greedy_partition(senders, receivers, n_nodes, psize, seed)
+        parts = greedy_partition(senders, receivers, n_nodes, psize, seed)
+        if method == "refined":
+            from gist_tpu.partition.greedy import refine_partition
+            parts = refine_partition(senders, receivers, n_nodes, parts)
+        return parts

@@ -71,3 +71,56 @@ def greedy_partition(senders, receivers, n_nodes, psize, seed=0):
         chunks = np.array_split(leftover, psize)
         parts = [np.concatenate([p, c]) for p, c in zip(parts, chunks)]
     return parts
+
+
+def refine_partition(senders, receivers, n_nodes, parts, passes=6,
+                     imbalance=1.05):
+    """Vectorized k-way boundary refinement (numpy fallback for the C++
+    multilevel partitioner): repeatedly move nodes to the adjacent
+    cluster with maximal connectivity gain, balance-capped.  Conflict-free
+    because each round applies moves simultaneously but recomputes
+    connectivity from the committed assignment."""
+    senders = np.asarray(senders, dtype=np.int64)
+    receivers = np.asarray(receivers, dtype=np.int64)
+    psize = len(parts)
+    if psize <= 1:
+        return parts
+    assign = np.empty(n_nodes, dtype=np.int64)
+    for pid, p in enumerate(parts):
+        assign[p] = pid
+    sizes = np.bincount(assign, minlength=psize)
+    maxw = int(n_nodes / psize * imbalance) + 1
+
+    import scipy.sparse as sp
+    A = sp.csr_matrix((np.ones(len(senders), np.float64),
+                       (senders, receivers)), shape=(n_nodes, n_nodes))
+    A = A + A.T
+    for _ in range(passes):
+        P = sp.csr_matrix((np.ones(n_nodes), (np.arange(n_nodes), assign)),
+                          shape=(n_nodes, psize))
+        C = (A @ P).tocsr()                      # connectivity node x part
+        best = np.asarray(C.argmax(axis=1)).ravel()
+        best_w = C.max(axis=1).toarray().ravel()
+        cur_w = np.asarray(C[np.arange(n_nodes), assign]).ravel()
+        gain = best_w - cur_w
+        movers = np.nonzero((gain > 0) & (best != assign)
+                            & (sizes[best] < maxw))[0]
+        if movers.size == 0:
+            break
+        # apply highest-gain moves first, respecting the balance cap
+        movers = movers[np.argsort(-gain[movers], kind="stable")]
+        moved = 0
+        for u in movers:
+            b = best[u]
+            if sizes[b] + 1 <= maxw and sizes[assign[u]] > 1:
+                sizes[assign[u]] -= 1
+                sizes[b] += 1
+                assign[u] = b
+                moved += 1
+        if moved == 0:
+            break
+    order = np.argsort(assign, kind="stable")
+    sa = assign[order]
+    starts = np.searchsorted(sa, np.arange(psize))
+    ends = np.searchsorted(sa, np.arange(psize), side="right")
+    return [order[a:b].copy() for a, b in zip(starts, ends)]

@@ -34,8 +34,43 @@ def _load():
         i64p, i64p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int64,
         i64p, i64p, i64p]
     lib.induced_subgraph.restype = ctypes.c_int64
+    lib.refined_partition.argtypes = [
+        i64p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint64, i64p]
+    lib.refined_partition.restype = None
+    lib.edge_cut.argtypes = [i64p, i64p, ctypes.c_int64, i64p]
+    lib.edge_cut.restype = ctypes.c_int64
     _lib = lib
     return lib
+
+
+def _assignment_to_parts(assignment: np.ndarray, psize: int):
+    order = np.argsort(assignment, kind="stable")
+    sorted_assign = assignment[order]
+    starts = np.searchsorted(sorted_assign, np.arange(psize))
+    ends = np.searchsorted(sorted_assign, np.arange(psize), side="right")
+    return [order[a:b].copy() for a, b in zip(starts, ends)]
+
+
+def native_refined_partition(senders, receivers, n_nodes, psize, seed=0):
+    """Multilevel k-way partition (HEM coarsening + boundary refinement)
+    — the METIS-grade path; see partition.cpp:refined_partition."""
+    from gist_tpu.partition.greedy import build_csr
+    lib = _load()
+    indptr, nbrs = build_csr(senders, receivers, n_nodes)
+    assignment = np.empty(n_nodes, dtype=np.int64)
+    lib.refined_partition(np.ascontiguousarray(indptr),
+                          np.ascontiguousarray(nbrs),
+                          n_nodes, psize, seed, assignment)
+    return _assignment_to_parts(assignment, psize)
+
+
+def native_edge_cut(senders, receivers, n_nodes, assignment) -> int:
+    from gist_tpu.partition.greedy import build_csr
+    lib = _load()
+    indptr, nbrs = build_csr(senders, receivers, n_nodes)
+    assignment = np.ascontiguousarray(assignment, dtype=np.int64)
+    return int(lib.edge_cut(np.ascontiguousarray(indptr),
+                            np.ascontiguousarray(nbrs), n_nodes, assignment))
 
 
 def native_partition(senders, receivers, n_nodes, psize, seed=0):
@@ -46,11 +81,7 @@ def native_partition(senders, receivers, n_nodes, psize, seed=0):
     lib.greedy_partition(np.ascontiguousarray(indptr),
                          np.ascontiguousarray(nbrs),
                          n_nodes, psize, seed, assignment)
-    order = np.argsort(assignment, kind="stable")
-    sorted_assign = assignment[order]
-    starts = np.searchsorted(sorted_assign, np.arange(psize))
-    ends = np.searchsorted(sorted_assign, np.arange(psize), side="right")
-    return [order[a:b].copy() for a, b in zip(starts, ends)]
+    return _assignment_to_parts(assignment, psize)
 
 
 def native_subgraph(senders, receivers, node_ids, n_nodes):

@@ -103,12 +103,26 @@ class ClusterSampler:
     def __len__(self) -> int:
         return self.psize // self.batch_size
 
-    def __iter__(self) -> Iterator[ClusterBatch]:
-        for i in range(len(self)):
-            ids = self._order[i * self.batch_size:(i + 1) * self.batch_size]
-            node_ids = np.concatenate([self.partitions[j] for j in ids])
-            yield self.make_batch(node_ids)
+    def _epoch_ids(self) -> Iterator[np.ndarray]:
+        """One epoch of per-batch node-id arrays; advances the cluster
+        order (sampler.py:55, 92-93).  The single source of epoch
+        semantics — all consumers (``__iter__``, round collectors)
+        derive from this so they cannot drift."""
+        order = self._order.copy()
         self.rng.shuffle(self._order)
+        for i in range(len(self)):
+            ids = order[i * self.batch_size:(i + 1) * self.batch_size]
+            yield np.concatenate([self.partitions[j] for j in ids])
+
+    def iter_node_ids(self) -> Iterator[np.ndarray]:
+        """Endless stream of batch node-id arrays, reshuffling between
+        epochs."""
+        while True:
+            yield from self._epoch_ids()
+
+    def __iter__(self) -> Iterator[ClusterBatch]:
+        for node_ids in self._epoch_ids():
+            yield self.make_batch(node_ids)
 
     def make_batch(self, node_ids: np.ndarray,
                    node_pad: Optional[int] = None,

@@ -28,9 +28,10 @@ from gist_tpu.train.common import (TrainConfig, make_optimizer,
 
 def prepare_graph(ds: Dataset, tiles: Optional[bool] = None) -> Graph:
     if tiles is None:
-        # build the pallas tile layout iff the pallas backend is active
+        # build the pallas tile layout iff a pallas-capable backend is
+        # active (explicit "pallas", or "auto" on real TPU hardware)
         from gist_tpu.ops import spmm as _spmm
-        tiles = _spmm._DEFAULT_BACKEND == "pallas"
+        tiles = _spmm.tiles_wanted()
     return graph_from_edges(ds.senders, ds.receivers, ds.n_nodes,
                             tiles=tiles)
 
@@ -78,8 +79,11 @@ def _train_full_graph_loop(
         lr=tc.lr, weight_decay=tc.weight_decay)
     opt_state = opt.init(params)
 
+    # NB: the graph travels as a jit ARGUMENT, not a closure constant —
+    # closed-over arrays get embedded in the HLO as literals, which for
+    # tile layouts (100+ MB of W blocks) breaks compilation outright.
     @jax.jit
-    def train_step(params, opt_state, key):
+    def train_step(graph, params, opt_state, key):
         def loss_fn(p):
             logits = model.apply(p, graph, x, model_cfg, train=True,
                                  dropout_key=key)
@@ -91,7 +95,7 @@ def _train_full_graph_loop(
         return params, opt_state, loss
 
     @jax.jit
-    def evaluate(params):
+    def evaluate(graph, params):
         logits = model.apply(params, graph, x, model_cfg)
         return (masked_accuracy(logits, labels, val_mask),
                 masked_accuracy(logits, labels, test_mask))
@@ -105,11 +109,12 @@ def _train_full_graph_loop(
                 reference_lr_schedule(tc.lr, tc.n_epochs, epoch))
         key, step_key = jax.random.split(key)
         t0 = time.time()
-        params, opt_state, loss = train_step(params, opt_state, step_key)
+        params, opt_state, loss = train_step(graph, params, opt_state,
+                                             step_key)
         loss.block_until_ready()
         if epoch >= 3:  # warm-up epochs excluded (train.py:102)
             durs.append(time.time() - t0)
-        va, ta = evaluate(params)
+        va, ta = evaluate(graph, params)
         val_accs.append(float(va))
         test_accs.append(float(ta))
         losses.append(float(loss))
@@ -164,7 +169,7 @@ def _train_full_graph_scanned(
         else tc.lr for e in range(tc.n_epochs)], dtype=jnp.float32)
 
     @partial(jax.jit, static_argnames=("k",))
-    def run_block(params, opt_state, key, lr_block, k):
+    def run_block(graph, params, opt_state, key, lr_block, k):
         def epoch(carry, lr_e):
             params, opt_state, key = carry
             key, dk = jax.random.split(key)
@@ -195,7 +200,7 @@ def _train_full_graph_scanned(
         k = min(scan_epochs, tc.n_epochs - done)
         t0 = time.time()
         params, opt_state, key, (l, va, ta) = run_block(
-            params, opt_state, key, lrs[done:done + k], k)
+            graph, params, opt_state, key, lrs[done:done + k], k)
         jax.block_until_ready(l)
         dt = time.time() - t0
         if done > 0:

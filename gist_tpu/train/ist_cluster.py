@@ -54,27 +54,10 @@ class _RoundCollector:
     def __init__(self, sampler: ClusterSampler, spr: int):
         self.sampler = sampler
         self.spr = spr
-        self._gen = None
-
-    def _next_ids(self):
-        if self._gen is None:
-            self._gen = self._id_gen()
-        try:
-            return next(self._gen)
-        except StopIteration:
-            self._gen = self._id_gen()
-            return next(self._gen)
-
-    def _id_gen(self):
-        order = self.sampler._order.copy()
-        self.sampler.rng.shuffle(self.sampler._order)
-        bs = self.sampler.batch_size
-        for i in range(len(self.sampler)):
-            ids = order[i * bs:(i + 1) * bs]
-            yield np.concatenate([self.sampler.partitions[j] for j in ids])
+        self._gen = sampler.iter_node_ids()
 
     def collect(self):
-        id_sets = [self._next_ids() for _ in range(self.spr)]
+        id_sets = [next(self._gen) for _ in range(self.spr)]
         from gist_tpu.sampler import bucket_size
         node_pad = max(bucket_size(len(ids)) for ids in id_sets)
         batches = [self.sampler.make_batch(ids, node_pad=node_pad)

@@ -124,16 +124,23 @@ def train_ist_ultrawide(
         val_accs.append(va)
         test_accs.append(ta)
         losses.append(float("nan"))
+    else:
+        stacked_batches = _stack_batches(collector.collect())
     for rnd in range(start_round, n_rounds):
-        batches = collector.collect()
-        stacked_batches = _stack_batches(batches)
         t0 = time.time()
         bnds = sample_boundaries_host(host_rng, sizes, K)
         shards = shard_over_subnets(mesh, dispatch_host(
             full_params, bnds, K, kind))       # one H2D per round
         drop_key, dk = jax.random.split(drop_key)
+        # async dispatch: burst_fn returns futures immediately, so the
+        # next round's host-side batch collection/padding runs WHILE the
+        # device executes the burst (round wall ~ max(burst, host prep)
+        # instead of their sum — SURVEY §7.3's named improvement over
+        # ultra_wide.py:143-204's serial staging)
         shards, rl = burst_fn(shards, stacked_batches,
                               jnp.asarray(tc.lr), dk)
+        if rnd + 1 < n_rounds:
+            stacked_batches = _stack_batches(collector.collect())
         trained = jax.tree.map(np.asarray, shards)   # one D2H per round
         full_params = merge_host(full_params, bnds, trained, K, kind)
         total_time += time.time() - t0

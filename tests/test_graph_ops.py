@@ -155,16 +155,20 @@ def test_spmm_chunked_grad(rng):
 
 def test_with_tiles_roundtrip(rng):
     g, s, r = build(rng, n_nodes=50, n_edges=300)
-    assert g.tiled is None
-    g2 = g.with_tiles()
+    assert g.tiled is None and g.dedup is None
+    g2 = g.with_tiles(mode="gather")
     assert g2.tiled is not None and g2.tiled_t is not None
     # tiles built lazily match tiles built at construction
-    g3 = G.graph_from_edges(s, r, 50, tiles=True)
+    g3 = G.graph_from_edges(s, r, 50, tiles=True, tile_mode="gather")
     np.testing.assert_array_equal(np.asarray(g2.tiled.senders),
                                   np.asarray(g3.tiled.senders))
     np.testing.assert_array_equal(np.asarray(g2.tiled_t.receivers),
                                   np.asarray(g3.tiled_t.receivers))
-    assert g2.with_tiles() is g2  # no-op when present
+    assert g2.with_tiles(mode="gather") is g2  # no-op when present
+    # default mode builds the v2 dedup layout
+    g4 = g.with_tiles()
+    assert g4.dedup is not None and g4.dedup_t is not None
+    assert g4.with_tiles() is g4
 
 
 def test_aggregate_pallas_falls_back_without_tiles(rng):

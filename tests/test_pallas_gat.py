@@ -20,7 +20,7 @@ def run_interpret(fn, *args):
 @pytest.mark.parametrize("n,e,d", [(40, 200, 8), (300, 1500, 16)])
 def test_gat_kernel_matches_xla(rng, n, e, d):
     s, r = make_random_graph(rng, n, e)
-    g = G.graph_from_edges(s, r, n, tiles=True)
+    g = G.graph_from_edges(s, r, n, tiles=True, tile_mode="gather")
     z = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
     a = jnp.asarray(rng.standard_normal(n).astype(np.float32))
     b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
@@ -33,7 +33,7 @@ def test_gat_kernel_matches_xla(rng, n, e, d):
 def test_gat_kernel_grad_matches_xla(rng):
     n, e, d = 50, 250, 8
     s, r = make_random_graph(rng, n, e)
-    g = G.graph_from_edges(s, r, n, tiles=True)
+    g = G.graph_from_edges(s, r, n, tiles=True, tile_mode="gather")
     z = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
     a = jnp.asarray(rng.standard_normal(n).astype(np.float32))
     b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
@@ -57,7 +57,7 @@ def test_gat_kernel_empty_rows(rng):
     n, d = 20, 4
     s = np.array([0, 1, 2])
     r = np.array([5, 5, 6])
-    g = G.graph_from_edges(s, r, n, tiles=True)
+    g = G.graph_from_edges(s, r, n, tiles=True, tile_mode="gather")
     z = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
     a = jnp.asarray(rng.standard_normal(n).astype(np.float32))
     b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
@@ -74,7 +74,7 @@ def test_gat_model_pallas_backend_matches_segment(rng):
     from gist_tpu.models import gat as gat_model
     n = 60
     s, r = make_random_graph(rng, n, 300)
-    g = G.graph_from_edges(s, r, n, tiles=True)
+    g = G.graph_from_edges(s, r, n, tiles=True, tile_mode="gather")
     cfg = gat_model.GATConfig(in_feats=8, n_hidden=8, n_classes=3,
                               n_layers=2, n_heads=2)
     params = gat_model.init(jax.random.PRNGKey(0), cfg)
@@ -91,7 +91,7 @@ def test_gat_kernel_empty_trailing_tiles(rng):
     n, d = 256, 8
     s = rng.integers(0, n, 150)
     r = rng.integers(0, 100, 150)
-    g = G.graph_from_edges(s, r, n, tiles=True)
+    g = G.graph_from_edges(s, r, n, tiles=True, tile_mode="gather")
     z = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
     a = jnp.asarray(rng.standard_normal(n).astype(np.float32))
     b = jnp.asarray(rng.standard_normal(n).astype(np.float32))

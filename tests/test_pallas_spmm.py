@@ -99,6 +99,66 @@ def test_pallas_spmm_bf16(rng):
                                atol=0.05)
 
 
+def test_dedup_layout_built_by_default(rng):
+    s, r = make_random_graph(rng, 300, 2000)
+    g = G.graph_from_edges(s, r, 300, tiles=True)
+    assert g.dedup is not None and g.dedup_t is not None
+    d = g.dedup
+    assert d.u_senders.shape[0] % d.cu == 0
+    assert d.w_blocks.shape == (int(d.job_offsets[-1]), d.tile_rows, d.cu)
+    # every edge is accounted once: total count mass == n_edges
+    assert int(np.asarray(d.w_blocks, dtype=np.int64).sum()) == g.n_edges
+
+
+def test_dedup_vs_gather_layouts_agree(rng):
+    """v2 (dedup) and v1 (gather) kernels produce the same aggregation,
+    including with the locality reordering active (n > 2*tile_rows)."""
+    n, f = 400, 16
+    s, r = make_random_graph(rng, n, 3000)
+    g1 = G.graph_from_edges(s, r, n, tiles=True, tile_mode="gather")
+    g2 = G.graph_from_edges(s, r, n, tiles=True)
+    assert g2.dedup is not None and g2.dedup.pos is not None  # reordered
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    want = np.asarray(spmm_segment(g1, x))
+    got1 = np.asarray(run_interpret(g1, x))
+    got2 = np.asarray(run_interpret(g2, x))
+    np.testing.assert_allclose(got1, want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got2, want, rtol=1e-4, atol=1e-4)
+
+
+def test_dedup_multigraph_counts(rng):
+    """Repeated edges must aggregate with multiplicity (int8 counts)."""
+    n, f = 40, 8
+    s = np.array([1, 1, 1, 2, 5, 5], dtype=np.int64)
+    r = np.array([0, 0, 0, 0, 3, 3], dtype=np.int64)
+    g = G.graph_from_edges(s, r, n, tiles=True)
+    assert g.dedup is not None
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    want = np.asarray(spmm_segment(g, x))
+    got = np.asarray(run_interpret(g, x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_dedup_grad_with_reorder(rng):
+    n, f = 300, 8
+    s, r = make_random_graph(rng, n, 1500)
+    g = G.graph_from_edges(s, r, n, tiles=True)
+    assert g.dedup is not None
+    A = dense_adj(s, r, n)
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    w = rng.standard_normal((n, f)).astype(np.float32)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gist_tpu.ops import pallas_spmm
+
+    with pltpu.force_tpu_interpret_mode():
+        grad = jax.grad(
+            lambda x: jnp.sum(pallas_spmm.spmm_pallas_csr(g, x) * w))(x)
+    np.testing.assert_allclose(np.asarray(grad), A.T @ w, rtol=1e-4,
+                               atol=1e-4)
+
+
 def test_pallas_spmm_empty_tiles(rng):
     """Dst tiles with zero edges (nodes 128..255 receive nothing) must
     produce zero rows and not disturb their neighbors."""

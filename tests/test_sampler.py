@@ -28,7 +28,7 @@ def test_partition_cache(tmp_path):
     ds = synthetic_dataset("synth-tiny")
     p1 = get_partition_list(ds.senders, ds.receivers, ds.n_nodes, 4,
                             cache_dir=str(tmp_path), name="t")
-    assert (tmp_path / "t_4.npy").exists()
+    assert (tmp_path / "t_4_refined.npy").exists()
     p2 = get_partition_list(ds.senders, ds.receivers, ds.n_nodes, 4,
                             cache_dir=str(tmp_path), name="t")
     for a, b in zip(p1, p2):
