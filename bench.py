@@ -109,10 +109,10 @@ def main():
             def time_step(iters=10):
                 run = make_step()
                 p, s = run(g, params, opt.init(params), iters)
-                float(jax.tree.leaves(p)[0][0, 0])
+                float(jax.tree.leaves(p)[0].ravel()[0])
                 t0 = time.time()
                 p, s = run(g, params, opt.init(params), iters)
-                float(jax.tree.leaves(p)[0][0, 0])
+                float(jax.tree.leaves(p)[0].ravel()[0])
                 return (time.time() - t0) / iters
 
             set_default_backend("auto")  # pallas on this TPU

@@ -48,6 +48,11 @@ class TiledCSR:
     tile_rows: int = struct.field(pytree_node=False)   # TN
     chunk: int = struct.field(pytree_node=False)       # C (1024)
     max_chunks: int = struct.field(pytree_node=False)  # max per-tile chunks
+    # position of each slot's edge in the *other* layout's tiled arrays
+    # (forward <-> transpose), 0 for padding slots.  Lets per-edge values
+    # computed in one layout be re-ordered into the other with a plain
+    # gather (the fused GAT backward needs ds in both groupings).
+    pos_in_other: Optional[jnp.ndarray] = None
 
     @property
     def num_tiles(self) -> int:
@@ -72,6 +77,7 @@ def _build_tiled_csr(senders_sorted: np.ndarray, receivers_sorted: np.ndarray,
     sentinel = num_tiles * tile_rows
     s_out = np.zeros(total, dtype=np.int32)
     r_out = np.full(total, sentinel, dtype=np.int32)
+    dst = None
     # vectorized segment copy: destination index for each real edge
     if len(senders_sorted):
         tile_of_edge = np.repeat(np.arange(num_tiles), seg_counts)
@@ -79,11 +85,35 @@ def _build_tiled_csr(senders_sorted: np.ndarray, receivers_sorted: np.ndarray,
         dst = offsets[:-1][tile_of_edge] + within
         s_out[dst] = senders_sorted
         r_out[dst] = receivers_sorted
-    return TiledCSR(
+    tiled = TiledCSR(
         senders=jnp.asarray(s_out), receivers=jnp.asarray(r_out),
         tile_offsets=jnp.asarray(offsets, dtype=jnp.int32),
         tile_rows=tile_rows, chunk=chunk,
         max_chunks=int(padded.max() // chunk) if num_tiles else 0)
+    return tiled, dst
+
+
+def _link_tiled_pair(fwd: TiledCSR, fwd_dst, t: TiledCSR, t_dst,
+                     t_order: np.ndarray, n_edges: int):
+    """Fill ``pos_in_other`` on a forward/transpose TiledCSR pair.
+
+    ``fwd_dst[k]`` is the fwd-tiled position of the k-th receiver-sorted
+    edge (the canonical id space); ``t_dst[k]`` the transpose-tiled
+    position of the k-th sender-sorted edge, whose canonical id is
+    ``t_order[k]``."""
+    if n_edges == 0 or fwd_dst is None or t_dst is None:
+        return fwd, t
+    pos_f = np.asarray(fwd_dst, dtype=np.int64)            # canon -> fwd pos
+    pos_t = np.zeros(n_edges, dtype=np.int64)              # canon -> t pos
+    pos_t[np.asarray(t_order, dtype=np.int64)] = np.asarray(t_dst,
+                                                            dtype=np.int64)
+    f_other = np.zeros(int(fwd.senders.shape[0]), dtype=np.int64)
+    f_other[pos_f] = pos_t
+    t_other = np.zeros(int(t.senders.shape[0]), dtype=np.int64)
+    t_other[pos_t[np.asarray(t_order, dtype=np.int64)]] = pos_f[
+        np.asarray(t_order, dtype=np.int64)]
+    return (fwd.replace(pos_in_other=jnp.asarray(f_other, jnp.int32)),
+            t.replace(pos_in_other=jnp.asarray(t_other, jnp.int32)))
 
 
 def _round_up_arr(x: np.ndarray, m: int) -> np.ndarray:
@@ -132,12 +162,28 @@ def _locality_order(senders: np.ndarray, receivers: np.ndarray,
     return perm, pos
 
 
+def pad_dedup_tiles(d: DedupTiles, jobs_to: int,
+                    max_jobs_to: int) -> DedupTiles:
+    """Pad a DedupTiles layout to a bucketed job count so cluster
+    batches in one size bucket share a jit cache entry.  Padding jobs
+    are never indexed (``job_offsets`` is untouched and the kernel
+    clamps); a larger ``max_jobs`` only adds skipped grid steps."""
+    w = np.asarray(d.w_blocks)
+    u = np.asarray(d.u_senders)
+    jobs_to = max(jobs_to, w.shape[0])
+    extra = jobs_to - w.shape[0]
+    if extra:
+        w = np.concatenate(
+            [w, np.zeros((extra, d.tile_rows, d.cu), np.int8)], axis=0)
+        u = np.concatenate([u, np.zeros(extra * d.cu, np.int32)])
+    return d.replace(w_blocks=jnp.asarray(w), u_senders=jnp.asarray(u),
+                     max_jobs=max(d.max_jobs, max_jobs_to))
+
+
 def _build_dedup_tiles(senders: np.ndarray, receivers: np.ndarray,
                        n_nodes: int, *, tile_rows: int = 128, cu: int = 1024,
                        reorder: bool = True, seed: int = 0,
                        max_w_bytes: int = 512 * 2 ** 20,
-                       pad_jobs_to: Optional[int] = None,
-                       pad_max_jobs_to: Optional[int] = None,
                        ) -> Optional[DedupTiles]:
     """Host-side build of the v2 layout; returns None when the layout
     would be counterproductive (W blocks too large, count overflow)."""
@@ -191,19 +237,6 @@ def _build_dedup_tiles(senders: np.ndarray, receivers: np.ndarray,
     w_blocks = np.concatenate(w_chunks, axis=0)
     u_senders = np.concatenate(u_chunks)
     max_jobs = int(np.diff(job_offsets).max())
-    if pad_jobs_to is not None:
-        # pad to a bucketed job count so cluster batches of one size
-        # bucket share a jit cache entry (padding jobs are never indexed:
-        # job_offsets is untouched and the kernel clamps)
-        if pad_jobs_to < w_blocks.shape[0]:
-            return None
-        extra = pad_jobs_to - w_blocks.shape[0]
-        w_blocks = np.concatenate(
-            [w_blocks, np.zeros((extra, tile_rows, cu), np.int8)], axis=0)
-        u_senders = np.concatenate(
-            [u_senders, np.zeros(extra * cu, np.int32)])
-    if pad_max_jobs_to is not None:
-        max_jobs = max(max_jobs, pad_max_jobs_to)
     return DedupTiles(
         u_senders=jnp.asarray(u_senders),
         w_blocks=jnp.asarray(w_blocks),
@@ -285,13 +318,18 @@ class Graph:
             return self
         indptr = np.asarray(self.indptr, dtype=np.int64)
         t_indptr = np.asarray(self.t_indptr, dtype=np.int64)
-        return self.replace(
-            tiled=_build_tiled_csr(s.astype(np.int32), r.astype(np.int32),
-                                   indptr, self.n_nodes,
-                                   tile_rows=tile_rows),
-            tiled_t=_build_tiled_csr(t_s.astype(np.int32),
-                                     t_r.astype(np.int32), t_indptr,
-                                     self.n_nodes, tile_rows=tile_rows))
+        tiled, f_dst = _build_tiled_csr(
+            s.astype(np.int32), r.astype(np.int32), indptr, self.n_nodes,
+            tile_rows=tile_rows)
+        tiled_t, t_dst = _build_tiled_csr(
+            t_s.astype(np.int32), t_r.astype(np.int32), t_indptr,
+            self.n_nodes, tile_rows=tile_rows)
+        # s is receiver-sorted; argsort reproduces the sender-sort
+        # permutation used to build the transpose arrays
+        t_order = np.argsort(s, kind="stable")
+        tiled, tiled_t = _link_tiled_pair(tiled, f_dst, tiled_t, t_dst,
+                                          t_order, self.n_edges)
+        return self.replace(tiled=tiled, tiled_t=tiled_t)
 
     def __repr__(self) -> str:  # pragma: no cover
         return (f"Graph(n_nodes={self.n_nodes}, n_edges={self.n_edges}, "

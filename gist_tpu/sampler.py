@@ -65,12 +65,21 @@ class ClusterSampler:
         cache_dir: Optional[str] = None,
         seed: int = 0,
         bucket_growth: float = 1.2,
+        tiles: Optional[bool] = None,
+        tiles_min_edges: int = 200_000,
     ):
+        """``tiles=None`` (auto): build the Pallas dedup tile layout on
+        each batch when a pallas-capable backend is active AND batches
+        are big enough for the kernel to pay off (``tiles_min_edges``);
+        tile shapes are padded to the same geometric buckets as
+        nodes/edges so jit caches per bucket."""
         self.psize = psize
         self.batch_size = batch_size
         self.use_pp = use_pp
         self.rng = np.random.default_rng(seed)
         self.bucket_growth = bucket_growth
+        self.tiles = tiles
+        self.tiles_min_edges = tiles_min_edges
 
         # restrict to the train-node-induced subgraph (sampler.py:34)
         train_nid = np.nonzero(ds.train_mask)[0]
@@ -89,6 +98,28 @@ class ClusterSampler:
             cache_dir=cache_dir, name=ds.name, seed=seed)
         self._order = np.arange(len(self.partitions))
         self.rng.shuffle(self._order)
+
+    def _with_bucketed_tiles(self, g: Graph) -> Graph:
+        """Dedup tile layout with job counts padded to geometric buckets
+        (cluster batch nodes are already cluster-grouped, so no extra
+        locality reorder)."""
+        from gist_tpu.graph import _build_dedup_tiles, pad_dedup_tiles
+        s = np.asarray(g.senders[:g.n_edges]).astype(np.int64)
+        r = np.asarray(g.receivers[:g.n_edges]).astype(np.int64)
+        t_s = np.asarray(g.t_senders[:g.n_edges]).astype(np.int64)
+        t_r = np.asarray(g.t_receivers[:g.n_edges]).astype(np.int64)
+        d = _build_dedup_tiles(s, r, g.n_nodes, reorder=False)
+        d_t = None if d is None else _build_dedup_tiles(
+            t_s, t_r, g.n_nodes, reorder=False)
+        if d is None or d_t is None:
+            return g
+        gr = self.bucket_growth
+        d = pad_dedup_tiles(d, bucket_size(int(d.w_blocks.shape[0]), gr, 8),
+                            bucket_size(d.max_jobs, gr, 4))
+        d_t = pad_dedup_tiles(
+            d_t, bucket_size(int(d_t.w_blocks.shape[0]), gr, 8),
+            bucket_size(d_t.max_jobs, gr, 4))
+        return g.replace(dedup=d, dedup_t=d_t)
 
     def _precalc(self, feats: np.ndarray) -> np.ndarray:
         """[X || (A X) * 1/deg] on the train subgraph (sampler.py:58-69)."""
@@ -139,6 +170,12 @@ class ClusterSampler:
         n_pad = node_pad or bucket_size(n, self.bucket_growth)
         e_pad = edge_pad or bucket_size(max(len(s), 1), self.bucket_growth)
         g = graph_from_edges(s, r, n_pad, pad_to=e_pad)
+        tiles = self.tiles
+        if tiles is None:
+            from gist_tpu.ops.spmm import tiles_wanted
+            tiles = tiles_wanted() and len(s) >= self.tiles_min_edges
+        if tiles:
+            g = self._with_bucketed_tiles(g)
 
         feats = np.zeros((n_pad, self.features.shape[1]), np.float32)
         feats[:n] = self.features[node_ids]

@@ -92,6 +92,23 @@ def amazon_ultrawide(dataset="synth-amazon2m-small"):
     )
 
 
+@register("reddit-ist-focus")
+def reddit_ist_focus(dataset="synth-reddit-small"):
+    """Round-2 focused tradeoff curves on the hardened generator:
+    accuracy vs K at fixed iter_per_site, and vs iter_per_site at
+    fixed K — the science the reference's full grid exists for,
+    runnable in ~30 min on one chip."""
+    k_curve = grid(
+        dataset=[dataset], n_hidden=[256], n_layers=[2],
+        num_subnet=[1, 2, 4, 8], iter_per_site=[500], psize=[1500],
+        batch_size=[20], n_epochs=[80], lr=[3e-2], dropout=[0.2])
+    ips_curve = grid(
+        dataset=[dataset], n_hidden=[256], n_layers=[2], num_subnet=[4],
+        iter_per_site=[100, 1000, 1500], psize=[1500], batch_size=[20],
+        n_epochs=[80], lr=[3e-2], dropout=[0.2])
+    return list(k_curve) + list(ips_curve)
+
+
 @register("reddit-gat")
 def reddit_gat(dataset="synth-reddit-small"):
     """script/reddit/run_gat_distrib_sweep.py:8-15 grid."""

@@ -30,10 +30,12 @@ def test_gat_kernel_matches_xla(rng, n, e, d):
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
 
 
-def test_gat_kernel_grad_matches_xla(rng):
-    n, e, d = 50, 250, 8
+@pytest.mark.parametrize("n,e,d", [(50, 250, 8), (300, 1500, 16)])
+def test_gat_kernel_grad_matches_xla(rng, n, e, d):
+    from gist_tpu.ops.pallas_gat import set_gat_backward
     s, r = make_random_graph(rng, n, e)
     g = G.graph_from_edges(s, r, n, tiles=True, tile_mode="gather")
+    assert g.tiled.pos_in_other is not None
     z = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
     a = jnp.asarray(rng.standard_normal(n).astype(np.float32))
     b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
@@ -45,11 +47,46 @@ def test_gat_kernel_grad_matches_xla(rng):
     def loss_xla(z, a, b):
         return jnp.sum(_xla_reference(g, z, a, b, 0.01) * w)
 
-    got = run_interpret(lambda: jax.grad(loss_pal, argnums=(0, 1, 2))(z, a, b))
     want = jax.grad(loss_xla, argnums=(0, 1, 2))(z, a, b)
-    for gg, ww in zip(got, want):
-        np.testing.assert_allclose(np.asarray(gg), np.asarray(ww),
-                                   rtol=1e-4, atol=1e-5)
+    try:
+        # xla-recompute backward: exact match
+        set_gat_backward("xla")
+        got = run_interpret(
+            lambda: jax.grad(loss_pal, argnums=(0, 1, 2))(z, a, b))
+        for gg, ww in zip(got, want):
+            np.testing.assert_allclose(np.asarray(gg), np.asarray(ww),
+                                       rtol=1e-4, atol=1e-5)
+        # fused two-kernel backward: bf16-matmul tolerance
+        set_gat_backward("fused")
+        got_f = run_interpret(
+            lambda: jax.grad(loss_pal, argnums=(0, 1, 2))(z, a, b))
+        for gg, ww in zip(got_f, want):
+            ww = np.asarray(ww)
+            scale = np.abs(ww).max() + 1e-6
+            np.testing.assert_allclose(np.asarray(gg) / scale, ww / scale,
+                                       atol=2e-2)
+    finally:
+        set_gat_backward("fused")
+
+
+def test_gat_fused_grad_finite_with_empty_rows(rng):
+    """Isolated nodes / empty tiles must not poison the fused backward
+    with NaNs (padding edges gather m = -inf rows)."""
+    from gist_tpu.ops.pallas_gat import set_gat_backward
+    n, d = 260, 8
+    s = rng.integers(0, 40, 150)
+    r = rng.integers(0, 40, 150)
+    g = G.graph_from_edges(s, r, n, tiles=True, tile_mode="gather")
+    z = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    a = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    set_gat_backward("fused")
+    grads = run_interpret(lambda: jax.grad(
+        lambda z, a, b: jnp.sum(gat_attention_pallas(g, z, a, b, 0.01) * w),
+        argnums=(0, 1, 2))(z, a, b))
+    for gg in grads:
+        assert np.isfinite(np.asarray(gg)).all()
 
 
 def test_gat_kernel_empty_rows(rng):

@@ -24,6 +24,36 @@ def test_greedy_partition_cover():
     np.testing.assert_array_equal(allids, np.arange(ds.n_nodes))
 
 
+def test_sampler_tiles_bucketed_and_correct():
+    """tiles=True batches carry bucket-padded dedup layouts whose kernel
+    output matches the segment backend."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from gist_tpu.ops.spmm import spmm_segment
+    from gist_tpu.ops.pallas_spmm import spmm_pallas_csr
+    from gist_tpu.sampler import bucket_size
+
+    ds = synthetic_dataset("synth-tiny")
+    sampler = ClusterSampler(ds, psize=4, batch_size=2, tiles=True)
+    batches = list(sampler)
+    shapes = set()
+    for b in batches:
+        g = b.graph
+        assert g.dedup is not None and g.dedup_t is not None
+        j = int(g.dedup.w_blocks.shape[0])
+        assert j == bucket_size(j, sampler.bucket_growth, 8) or \
+            j >= int(g.dedup.job_offsets[-1])
+        shapes.add((g.dedup.w_blocks.shape, g.dedup.max_jobs))
+        x = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (g.n_nodes, 8)).astype(np.float32))
+        want = np.asarray(spmm_segment(g, x))
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(spmm_pallas_csr(g, x))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # same node/edge buckets -> shared tile shapes (jit cache hits)
+    assert len(shapes) <= len(batches)
+
+
 def test_partition_cache(tmp_path):
     ds = synthetic_dataset("synth-tiny")
     p1 = get_partition_list(ds.senders, ds.receivers, ds.n_nodes, 4,
