@@ -46,17 +46,33 @@ def main():
     E, F = g.n_edges, ds.in_feats
     sol = 8.1e11 / (F * 4.0)  # speed-of-light edges/s: one row read/edge
 
-    def loop_time(fn, g, x, iters):
-        @jax.jit
-        def run(g, x):
-            def body(i, acc):
-                y = fn(g, x + (i.astype(x.dtype)
-                               * jnp.asarray(1e-9, x.dtype)))
-                return acc + y[0, 0].astype(jnp.float32)
-            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
-        float(run(g, x))  # compile + warm
+    def loop_time(fn, g, x, iters, baked=False):
+        """``baked=True`` closes the graph into the jit as compile-time
+        constants — steady-state cost, matching a long-lived training
+        executable; with the graph as a runtime argument, this stack
+        pays an extra per-iteration cost inside fori/scan loops for the
+        captured arrays (~7 ms here), reported separately."""
+        if baked:
+            @jax.jit
+            def run(x):
+                def body(i, acc):
+                    y = fn(g, x + (i.astype(x.dtype)
+                                   * jnp.asarray(1e-9, x.dtype)))
+                    return acc + y[0, 0].astype(jnp.float32)
+                return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+            args = (x,)
+        else:
+            @jax.jit
+            def run(g, x):
+                def body(i, acc):
+                    y = fn(g, x + (i.astype(x.dtype)
+                                   * jnp.asarray(1e-9, x.dtype)))
+                    return acc + y[0, 0].astype(jnp.float32)
+                return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+            args = (g, x)
+        float(run(*args))  # compile + warm
         t0 = time.time()
-        float(run(g, x))
+        float(run(*args))
         return (time.time() - t0) / iters
 
     extras = {}
@@ -65,12 +81,18 @@ def main():
     if not fast:
         try:
             from gist_tpu.ops.pallas_spmm import spmm_pallas_csr
-            dt = loop_time(spmm_pallas_csr, g, x, iters=20)
+            # forward-only graph keeps the baked-constant compile
+            # payload under the remote-compile limit
+            g_fwd = g.replace(dedup_t=None, tiled_t=None)
+            dt = loop_time(spmm_pallas_csr, g_fwd, x, iters=20,
+                           baked=True)
             backend = "pallas-dedup" if g.dedup is not None else "pallas"
-            dtb = loop_time(spmm_pallas_csr, g,
-                            x.astype(jnp.bfloat16), iters=20)
+            dtb = loop_time(spmm_pallas_csr, g_fwd,
+                            x.astype(jnp.bfloat16), iters=20, baked=True)
             extras["bf16_edges_per_sec"] = round(E / dtb, 1)
             extras["bf16_ms"] = round(dtb * 1e3, 2)
+            dt_arg = loop_time(spmm_pallas_csr, g, x, iters=20)
+            extras["fp32_ms_graph_as_arg"] = round(dt_arg * 1e3, 2)
         except Exception as e:  # fall back to the XLA path
             extras["pallas_error"] = f"{type(e).__name__}: {e}"[:200]
             dt = None
