@@ -110,8 +110,7 @@ def _link_tiled_pair(fwd: TiledCSR, fwd_dst, t: TiledCSR, t_dst,
     f_other = np.zeros(int(fwd.senders.shape[0]), dtype=np.int64)
     f_other[pos_f] = pos_t
     t_other = np.zeros(int(t.senders.shape[0]), dtype=np.int64)
-    t_other[pos_t[np.asarray(t_order, dtype=np.int64)]] = pos_f[
-        np.asarray(t_order, dtype=np.int64)]
+    t_other[pos_t] = pos_f
     return (fwd.replace(pos_in_other=jnp.asarray(f_other, jnp.int32)),
             t.replace(pos_in_other=jnp.asarray(t_other, jnp.int32)))
 

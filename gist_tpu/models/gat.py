@@ -11,6 +11,11 @@ intended semantics, mean over the head axis, is implemented here.  The
 comment at gat.py:87-89 mentions concatenation, but the code never
 concatenates; we follow mean-over-heads so hidden widths match the
 reference's layer shapes (hidden_dim, not hidden_dim*num_heads).
+
+The fused attention kernel path (``backend="pallas"``) needs the v1
+edge-order tile layout: build graphs with
+``graph_from_edges(..., tiles=True, tile_mode="gather")``.  The default
+dedup layout serves GCN/SAGE aggregation, not edge attention.
 """
 
 from __future__ import annotations

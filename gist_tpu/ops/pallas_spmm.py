@@ -153,9 +153,11 @@ def _spmm_dedup_call(job_offsets, w_blocks, u_hi, u_lo, *,
     if u_lo is not None:
         in_specs.append(u_spec)
         operands.append(u_lo)
-    kernel = functools.partial(_dedup_kernel) if u_lo is not None else \
-        (lambda offs, w, uh, out, a0, a1:
-         _dedup_kernel(offs, w, uh, None, out, a0, a1))
+    if u_lo is not None:
+        kernel = _dedup_kernel
+    else:
+        def kernel(offs, w, uh, out, a0, a1):
+            return _dedup_kernel(offs, w, uh, None, out, a0, a1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -92,6 +92,19 @@ def amazon_ultrawide(dataset="synth-amazon2m-small"):
     )
 
 
+@register("reddit-lsgd")
+def reddit_lsgd(dataset="synth-reddit-small"):
+    """The local-SGD baseline grid the reference's sweep points at but
+    never shipped (script/reddit/run_lsgd_sweep_reddit.py:63 references
+    a missing cluster_gcn_lsgd_distrib.py; our train_ist_cluster
+    lsgd=True implements it)."""
+    return grid(
+        dataset=[dataset], n_hidden=[256], n_layers=[2],
+        num_subnet=[2, 4, 8], iter_per_site=[100, 500, 1500],
+        psize=[1500], batch_size=[20], n_epochs=[80], lr=[3e-2],
+        dropout=[0.2], lsgd=[True])
+
+
 @register("reddit-ist-focus")
 def reddit_ist_focus(dataset="synth-reddit-small"):
     """Round-2 focused tradeoff curves on the hardened generator:

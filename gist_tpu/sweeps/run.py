@@ -9,7 +9,8 @@ import json
 def _run_one(*, dataset, trial=0, n_hidden=256, n_layers=2, lr=1e-2,
              dropout=0.2, n_epochs=40, weight_decay=0.0, num_subnet=1,
              iter_per_site=None, psize=None, batch_size=20,
-             split_output=False, n_heads=None, ultra_wide=False):
+             split_output=False, n_heads=None, ultra_wide=False,
+             lsgd=False):
     """Dispatch a single config to the right trainer."""
     from gist_tpu.data import load_dataset
     from gist_tpu.train.common import TrainConfig
@@ -36,10 +37,11 @@ def _run_one(*, dataset, trial=0, n_hidden=256, n_layers=2, lr=1e-2,
             from gist_tpu.train.ist_ultrawide import train_ist_ultrawide
             return train_ist_ultrawide(ds, cfg, tc, psize=psize,
                                        batch_size=batch_size, verbose=False)
-        if num_subnet > 1:
+        if num_subnet > 1 or lsgd:
             from gist_tpu.train.ist_cluster import train_ist_cluster
             return train_ist_cluster(ds, cfg, tc, psize=psize,
-                                     batch_size=batch_size, verbose=False)
+                                     batch_size=batch_size, lsgd=lsgd,
+                                     verbose=False)
         from gist_tpu.train.cluster import train_cluster_gcn
         return train_cluster_gcn(ds, cfg, tc, psize=psize,
                                  batch_size=batch_size, verbose=False)
