@@ -58,7 +58,8 @@ def singles():
     tc = TrainConfig(lr=3e-2, weight_decay=0.0, n_epochs=40)
     write("r2_reddit_cluster_baseline",
           train_cluster_gcn(ds, cfg, tc, psize=1500, batch_size=20,
-                            use_f1=True, verbose=False))
+                            use_f1=True, scan_batches=True,
+                            verbose=False))
 
 
 def ultrawide():

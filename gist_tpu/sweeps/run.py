@@ -43,8 +43,12 @@ def _run_one(*, dataset, trial=0, n_hidden=256, n_layers=2, lr=1e-2,
                                      batch_size=batch_size, lsgd=lsgd,
                                      verbose=False)
         from gist_tpu.train.cluster import train_cluster_gcn
+        # scan_batches: one jit per epoch instead of one dispatch per
+        # cluster batch (this session's remote tunnel makes per-batch
+        # dispatch seconds-slow; semantics are identical)
         return train_cluster_gcn(ds, cfg, tc, psize=psize,
-                                 batch_size=batch_size, verbose=False)
+                                 batch_size=batch_size, scan_batches=True,
+                                 verbose=False)
     # full-graph small datasets
     from gist_tpu.models import gcn
     cfg = gcn.GCNConfig(ds.in_feats, n_hidden, ds.n_classes,
