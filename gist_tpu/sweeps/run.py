@@ -72,7 +72,20 @@ def main(argv=None):
     p.add_argument("--trials", type=int, default=1)
     p.add_argument("--limit", type=int, default=None,
                    help="run only the first N configs")
+    p.add_argument("--cpu-mesh", type=int, default=0,
+                   help="run on a virtual N-device CPU mesh (the "
+                        "N-processes-one-GPU analog, SURVEY §4): "
+                        "multi-subnet configs need num_subnet devices, "
+                        "which a single real chip can't provide")
     args = p.parse_args(argv)
+    if args.cpu_mesh:
+        import os
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu_mesh}"
+        ).strip()
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     configs = SWEEPS[args.sweep](**({"dataset": args.dataset}
                                     if args.dataset else {}))

@@ -42,7 +42,12 @@ class SweepRunner:
                 for line in f:
                     try:
                         rec = json.loads(line)
-                        self._done.add(rec["key"])
+                        # only successes count as done: errored configs
+                        # retry on the next run (a crashed environment —
+                        # e.g. too few devices — shouldn't poison the
+                        # grid forever)
+                        if rec.get("status") == "ok":
+                            self._done.add(rec["key"])
                     except (json.JSONDecodeError, KeyError):
                         pass
 

@@ -31,10 +31,11 @@ def test_sweep_runner_resume_and_errors(tmp_path):
     statuses = [r["status"] for r in recs]
     assert statuses.count("ok") == 2 and statuses.count("error") == 2
 
-    # resume: nothing reruns
+    # resume: successes are skipped, errors retry
     runner2 = SweepRunner(fn, out, trials=2)
     recs2 = runner2.run([{"a": 1}, {"a": 2}], verbose=False)
-    assert recs2 == []
+    assert len(recs2) == 2
+    assert all(r["config"] == {"a": 2} for r in recs2)
 
     rows = summarize(out)
     assert rows[0]["config"] == {"a": 1}
