@@ -1,7 +1,17 @@
 """GAT fused attention kernel benchmark vs the XLA segment composite.
 
     python benchmarks/gat_bench.py [--nodes 4096] [--edges 80000]
-        [--dim 128] [--iters 20]
+        [--dim 128] [--iters 20] [--train-step]
+
+``--train-step`` benchmarks a full 2-layer GAT model training step
+(fwd + bwd + Adam) under three configurations: the Pallas forward with
+the fused two-kernel backward, the Pallas forward with the
+XLA-recompute backward, and the pure XLA composite — the end-to-end
+number VERDICT r1 #8 asks for (forward-only speedups don't establish a
+training win).  Timing runs ``iters`` steps inside ONE jitted
+lax.fori_loop with the graph baked as compile-time constants (one
+honest device sync per measurement; see bench.py for why per-op wall
+clocks through this session's tunnel are unreliable).
 """
 
 import argparse
@@ -11,12 +21,75 @@ import time
 import numpy as np
 
 
+def train_step_bench(g, n, d, iters):
+    """Full 2-layer GAT train step (CE loss on all nodes, Adam) —
+    fused Pallas backward vs XLA-recompute backward vs pure XLA."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gist_tpu.models import gat
+    from gist_tpu.models.common import masked_cross_entropy
+    from gist_tpu.ops import pallas_gat
+
+    rng = np.random.default_rng(1)
+    n_classes = 16
+    cfg = gat.GATConfig(d, d, n_classes, n_layers=2, n_heads=2)
+    params = gat.init(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, n_classes, n), dtype=jnp.int32)
+    mask = jnp.ones(n, bool)
+    opt = optax.adam(1e-3)
+
+    def make_run(backend):
+        # graph baked as compile-time constants (see module docstring)
+        def loss_fn(p):
+            logits = gat.apply(p, g, x, cfg, backend=backend)
+            return masked_cross_entropy(logits, labels, mask)
+
+        @jax.jit
+        def run(params):
+            opt_state = opt.init(params)
+
+            def body(i, carry):
+                p, o, acc = carry
+                l, grads = jax.value_and_grad(loss_fn)(p)
+                upd, o = opt.update(grads, o, p)
+                p = optax.apply_updates(p, upd)
+                return p, o, acc + l
+            p, _, acc = jax.lax.fori_loop(
+                0, iters, body, (params, opt_state, jnp.float32(0.0)))
+            return acc
+
+        return run
+
+    for name, backend, bwd in [
+        ("pallas+fused-bwd", "pallas", "fused"),
+        ("pallas+xla-bwd", "pallas", "xla"),
+        ("xla-composite", "segment", "fused"),
+    ]:
+        pallas_gat.set_gat_backward(bwd)
+        run = make_run(backend)
+        float(run(params))  # compile + warm
+        t0 = time.time()
+        float(run(params))
+        dt = (time.time() - t0) / iters
+        print(json.dumps({
+            "op": "gat_train_step", "config": name, "N": n,
+            "E": int(g.n_edges), "D": d, "layers": 2, "heads": 2,
+            "ms_per_step": round(dt * 1e3, 3)}), flush=True)
+    pallas_gat.set_gat_backward("fused")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--nodes", type=int, default=4096)
     p.add_argument("--edges", type=int, default=80000)
     p.add_argument("--dim", type=int, default=128)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--train-step", action="store_true",
+                   help="benchmark a full GAT train step (fwd+bwd+Adam) "
+                        "fused-bwd vs xla-bwd vs pure-xla")
     args = p.parse_args(argv)
 
     import jax
@@ -29,10 +102,14 @@ def main(argv=None):
     n, e, d = args.nodes, args.edges, args.dim
     s = rng.integers(0, n, e)
     r = rng.integers(0, n, e)
-    g = G.graph_from_edges(s, r, n, tiles=True)
+    g = G.graph_from_edges(s, r, n, tiles=True, tile_mode="gather")
     z = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
     a = jnp.asarray(rng.standard_normal(n).astype(np.float32))
     b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+    if args.train_step:
+        train_step_bench(g, n, d, args.iters)
+        return
 
     for name, fn in [
         ("pallas", jax.jit(lambda: gat_attention_pallas(g, z, a, b, 0.01))),

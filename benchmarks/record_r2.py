@@ -62,7 +62,10 @@ def singles():
                             verbose=False))
 
 
-def ultrawide():
+def ultrawide(only=None):
+    """``only``: optional "h,K" string to record a single config (the
+    K=1 full-width control runs on the real chip — it needs only one
+    device — while the K=8 family needs the 8-device CPU mesh)."""
     from gist_tpu.data import synthetic_dataset
     from gist_tpu.models import sage
     from gist_tpu.train.common import TrainConfig
@@ -70,7 +73,11 @@ def ultrawide():
 
     ds = synthetic_dataset("synth-amazon2m-small")
     ds.normalize_features()
-    for h, K in ((512, 8), (1024, 8), (2048, 8), (2048, 1)):
+    grid = ((512, 8), (1024, 8), (2048, 8), (2048, 1))
+    if only:
+        h0, k0 = (int(v) for v in only.split(","))
+        grid = ((h0, k0),)
+    for h, K in grid:
         cfg = sage.SAGEConfig(ds.in_feats, h, ds.n_classes, n_layers=2,
                               dropout=0.2)
         tc = TrainConfig(lr=1e-2, weight_decay=0.0, n_epochs=40,
@@ -87,5 +94,7 @@ if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     if what in ("singles", "all"):
         singles()
-    if what in ("ultrawide", "all"):
+    if what.startswith("ultrawide:"):
+        ultrawide(only=what.split(":", 1)[1])
+    elif what in ("ultrawide", "all"):
         ultrawide()
