@@ -103,6 +103,57 @@ class ShardedGraph:
             "a2a_bytes": a2a_rows * row_b,
         }
 
+    def projected_scaling(self, t1_agg_s: float, f: int,
+                          itemsize: int = 4,
+                          ici_bytes_per_s: float = 4.5e10) -> dict:
+        """Project the D-chip edges/s scaling efficiency of one SpMM
+        aggregation from a measured single-chip time (the ≥80%
+        north-star number, BASELINE.md; single-chip times come from
+        bench.py / PERF.md).
+
+        Model: the overlapped variants of ``sharded_aggregate`` hide
+        the ring halo exchange behind the interior-edge aggregation, so
+        the slowest device's step is
+        ``max(t_interior, t_wire) + t_boundary``; the no-overlap serial
+        bound ``t_compute + t_wire`` is reported alongside.  Compute
+        scales with the slowest device's edge share (shards are
+        balanced by node count, not edge count); the wire term is the
+        rows each device sends per ring shift at one ICI link's
+        bandwidth (~45 GB/s/direction on v5e).  Latency per shift is
+        ignored — halo payloads here are MB-scale.
+        """
+        D = self.n_devices
+        E = max(self.n_edges, 1)
+        recv = np.asarray(self.receivers)
+        edges_dev = (recv < self.n_loc_pad).sum(axis=1)       # (D,)
+        bnd = np.asarray(self.bnd_receivers)
+        bnd_dev = (bnd < self.n_loc_pad).sum(axis=1)
+        worst = int(edges_dev.argmax())
+        t_edge = t1_agg_s / E                               # s per edge
+        t_comp = float(edges_dev[worst]) * t_edge
+        t_bnd = float(bnd_dev[worst]) * t_edge
+        t_int = t_comp - t_bnd
+        wire_rows = sum(self.ring_pads)       # rows sent per device
+        t_wire = wire_rows * f * itemsize / ici_bytes_per_s
+        t_overlap = max(t_int, t_wire) + t_bnd
+        t_serial = t_comp + t_wire
+        ideal = t1_agg_s / D
+        return {
+            "n_devices": D,
+            "edges_per_device_max": int(edges_dev.max()),
+            "edges_per_device_mean": float(edges_dev.mean()),
+            "edge_balance": float(edges_dev.max() * D / E),
+            "wire_rows_per_device": int(wire_rows),
+            "wire_bytes_per_device": int(wire_rows * f * itemsize),
+            "t_compute_s": t_comp,
+            "t_wire_s": t_wire,
+            "t_step_overlap_s": t_overlap,
+            "t_step_serial_s": t_serial,
+            "efficiency_overlap": ideal / t_overlap,
+            "efficiency_serial": ideal / t_serial,
+            "speedup_overlap": t1_agg_s / t_overlap,
+        }
+
 
 def _chain_order_parts(senders, receivers, n_nodes,
                        parts: List[np.ndarray]) -> List[np.ndarray]:

@@ -119,6 +119,42 @@ def refine_partition(senders, receivers, n_nodes, parts, passes=6,
                 moved += 1
         if moved == 0:
             break
+    # explicit balance sweep: the gain loop above only accepts
+    # cut-improving moves, so parts that start over the ceiling stay
+    # there — push their boundary nodes DOWNHILL into strictly-lighter
+    # adjacent parts, least cut damage first (diffusion; mirrors
+    # partition.cpp:balance)
+    for _ in range(2 * passes):
+        over = np.nonzero(sizes > maxw)[0]
+        if over.size == 0:
+            break
+        P = sp.csr_matrix((np.ones(n_nodes), (np.arange(n_nodes), assign)),
+                          shape=(n_nodes, psize))
+        C = (A @ P).toarray()                    # node x part connectivity
+        moved = 0
+        for p in over:
+            nodes = np.nonzero(assign == p)[0]
+            cur = C[nodes, p]
+            cand = C[nodes].copy()
+            cand[:, p] = -np.inf
+            cand[:, C[nodes].max(axis=0) <= 0] = -np.inf  # non-adjacent
+            tgt_order = np.argsort(-(cand - cur[:, None]).max(axis=1),
+                                   kind="stable")
+            for i in tgt_order:
+                if sizes[p] <= maxw:
+                    break
+                row = cand[i]
+                elig = np.nonzero(np.isfinite(row)
+                                  & (sizes + 1 <= sizes[p] - 1))[0]
+                if elig.size == 0:
+                    continue
+                b = elig[np.argmax(row[elig])]
+                sizes[p] -= 1
+                sizes[b] += 1
+                assign[nodes[i]] = b
+                moved += 1
+        if moved == 0:
+            break
     order = np.argsort(assign, kind="stable")
     sa = assign[order]
     starts = np.searchsorted(sa, np.arange(psize))

@@ -203,6 +203,83 @@ void refine(const CGraph& g, int64_t psize, std::vector<int64_t>& part,
   }
 }
 
+// Explicit balance phase.  refine() only accepts cut-improving moves
+// inside the weight band, so parts that ARRIVE over the ceiling (lumpy
+// coarse vwgt overshooting grow_initial's target, wholesale fragment
+// migration) stay there — observed 0.5x-1.4x spread at small psize.
+// Diffusion: an overweight part pushes boundary nodes DOWNHILL into
+// any strictly-lighter adjacent part (least cut damage first).  The
+// target may transiently exceed the ceiling — excess then propagates
+// outward on later passes (each move lowers sum(pw^2), so this
+// terminates) — which is what lets a heavy part drain through
+// already-full neighbors instead of stalling and scattering nodes to
+// arbitrary light parts (that fragmentation blew the lattice edge cut
+// 5x in testing).  Balance feeds n_loc_pad padding and the
+// slowest-device edge share in the sharded path (projected_scaling).
+void balance(const CGraph& g, int64_t psize, std::vector<int64_t>& part,
+             double tol) {
+  const int64_t n = g.n();
+  std::vector<int64_t> pw(psize, 0);
+  int64_t total = 0;
+  for (int64_t u = 0; u < n; ++u) {
+    pw[part[u]] += g.vwgt[u];
+    total += g.vwgt[u];
+  }
+  const int64_t maxb = (int64_t)((double)total / (double)psize * tol) + 1;
+  std::vector<int64_t> conn(psize, 0), touched;
+  touched.reserve(64);
+  for (int pass = 0; pass < 32; ++pass) {
+    bool over = false;
+    for (int64_t p = 0; p < psize; ++p) over |= pw[p] > maxb;
+    if (!over) return;
+    int64_t moves = 0;
+    for (int64_t u = 0; u < n; ++u) {
+      const int64_t pu = part[u];
+      if (pw[pu] <= maxb) continue;
+      touched.clear();
+      for (int64_t e = g.indptr[u]; e < g.indptr[u + 1]; ++e) {
+        const int64_t pv = part[g.adj[e]];
+        if (conn[pv] == 0) touched.push_back(pv);
+        conn[pv] += g.ewgt[e];
+      }
+      const int64_t internal = conn[pu];
+      int64_t best = -1, bg = 0;
+      bool have = false;
+      for (int64_t ti = 0; ti < (int64_t)touched.size(); ++ti) {
+        const int64_t p = touched[ti];
+        // downhill only: the pair's weight gap must shrink
+        if (p == pu || pw[p] + g.vwgt[u] > pw[pu] - g.vwgt[u]) continue;
+        const int64_t gain = conn[p] - internal;
+        if (!have || gain > bg
+            || (gain == bg && pw[p] < pw[best])) {
+          bg = gain; best = p; have = true;
+        }
+      }
+      for (int64_t ti = 0; ti < (int64_t)touched.size(); ++ti)
+        conn[touched[ti]] = 0;
+      if (!have) continue;
+      pw[pu] -= g.vwgt[u];
+      pw[best] += g.vwgt[u];
+      part[u] = best;
+      ++moves;
+    }
+    if (moves == 0) break;  // only interior/stranded nodes left
+  }
+  // spill: still-overweight parts shed arbitrary nodes to the lightest
+  // part (disconnected overweight parts, tiny graphs)
+  for (int64_t u = 0; u < n && psize > 1; ++u) {
+    const int64_t pu = part[u];
+    if (pw[pu] <= maxb) continue;
+    int64_t lightest = 0;
+    for (int64_t p = 1; p < psize; ++p)
+      if (pw[p] < pw[lightest]) lightest = p;
+    if (pw[lightest] + g.vwgt[u] > maxb) break;  // nothing fits anywhere
+    pw[pu] -= g.vwgt[u];
+    pw[lightest] += g.vwgt[u];
+    part[u] = lightest;
+  }
+}
+
 // Connectivity cleanup: a part should be one connected region (FM moves
 // strand satellite fragments, which hurts cluster semantics and halo
 // locality).  Any fragment smaller than half its part migrates to the
@@ -314,6 +391,11 @@ void refined_partition(const int64_t* indptr, const int64_t* nbrs,
     refine(levels[li], psize, part, li == 0 ? 4 : 6);
   }
   fragment_cleanup(levels[0], psize, part);
+  // Balance once at the finest level (unit weights -> lands within
+  // tol), then let a short refine pass recover cut along the moved
+  // boundaries inside the 1.05 band.
+  balance(levels[0], psize, part, 1.03);
+  refine(levels[0], psize, part, 2);
 
   // Repair empty parts (cluster samplers expect psize non-empty
   // clusters): BFS-split half of the currently largest part into each.

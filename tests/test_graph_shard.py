@@ -133,3 +133,31 @@ def test_ring_comm_volume_near_ideal_on_lattice():
     y = unshard(sg, sharded_aggregate(sg, mesh)(xs))
     A = dense_adj(s, r, n)
     np.testing.assert_allclose(np.asarray(y), A @ x, rtol=1e-5, atol=1e-5)
+
+
+def test_projected_scaling_report():
+    """The scaling-efficiency projection (BASELINE.md >=80% north star)
+    is internally consistent: overlap beats serial, a local lattice at
+    D=8 projects high efficiency, and the wire term matches ring_pads."""
+    n, d = 1024, 8
+    s, r = [], []
+    for k in range(1, 4):
+        idx = np.arange(n)
+        s += [idx, (idx + k) % n]
+        r += [(idx + k) % n, idx]
+    s, r = np.concatenate(s), np.concatenate(r)
+    sg = build_sharded_graph(s, r, n, d)
+    f = 256
+    proj = sg.projected_scaling(t1_agg_s=10e-3, f=f)
+    assert proj["n_devices"] == d
+    assert proj["wire_rows_per_device"] == sum(sg.ring_pads)
+    assert proj["wire_bytes_per_device"] == sum(sg.ring_pads) * f * 4
+    assert 0 < proj["efficiency_serial"] <= proj["efficiency_overlap"] <= 1.0
+    # local halos + balanced shards: the lattice should clear the 80%
+    # north-star bar comfortably in projection
+    assert proj["efficiency_overlap"] > 0.8, proj
+    assert proj["speedup_overlap"] > d * 0.8
+    # shrinking ICI bandwidth must not raise efficiency
+    slow = sg.projected_scaling(t1_agg_s=10e-3, f=f,
+                                ici_bytes_per_s=1e9)
+    assert slow["efficiency_overlap"] <= proj["efficiency_overlap"]
