@@ -133,3 +133,18 @@ def reddit_gat(dataset="synth-reddit-small"):
         iter_per_site=[500],
         n_epochs=[80],
     )
+
+
+@register("gat-ist-focus")
+def gat_ist_focus(dataset="synth-reddit-small"):
+    """Round-2 GAT-IST accuracy recording on the hardened generator:
+    the reference's heads axis (run_gat_distrib_sweep.py:8-15) plus a
+    K=1 control per head count, at CPU-mesh-tractable width."""
+    return grid(
+        dataset=[dataset],
+        n_hidden=[128],
+        n_heads=[2, 4, 8],
+        num_subnet=[1, 2],
+        iter_per_site=[500],
+        n_epochs=[80],
+    )
