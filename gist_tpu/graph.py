@@ -161,6 +161,46 @@ def _locality_order(senders: np.ndarray, receivers: np.ndarray,
     return perm, pos
 
 
+@struct.dataclass
+class ChunkedDedupTiles:
+    """The v2 block-dense dedup layout, split into uniform tile chunks
+    for graphs whose gathered-unique-rows intermediate (or W blocks)
+    would not fit HBM in one shot (Amazon2M scale: ~50M unique rows x F
+    floats).  Every chunk covers ``tiles_per_chunk`` destination tiles
+    and is padded to the same job count, so one compiled kernel shape
+    serves all chunks; the runner gathers and aggregates chunk by
+    chunk, bounding live intermediate memory to one chunk's rows while
+    W and the features stay resident."""
+
+    u_senders: jnp.ndarray    # (n_chunks, jobs_pad * CU) int32
+    w_blocks: jnp.ndarray     # (n_chunks, jobs_pad, TN, CU) int8
+    job_offsets: jnp.ndarray  # (n_chunks, tiles_per_chunk + 1) int32 rebased
+    pos: Optional[jnp.ndarray]  # (N,) int32 node -> output row, or None
+    tile_rows: int = struct.field(pytree_node=False)
+    cu: int = struct.field(pytree_node=False)
+    max_jobs: int = struct.field(pytree_node=False)   # per tile
+    num_tiles: int = struct.field(pytree_node=False)  # true tiles total
+
+    @property
+    def n_chunks(self) -> int:
+        return self.w_blocks.shape[0]
+
+    @property
+    def tiles_per_chunk(self) -> int:
+        return self.job_offsets.shape[1] - 1
+
+    def to_device(self) -> "ChunkedDedupTiles":
+        """Copy with jnp leaves.  The builder returns numpy (so layout
+        caching / CPU-side consumers don't pay a device round trip),
+        but a long-lived Graph must hold device arrays — numpy leaves
+        re-transfer GiB-scale W on every jitted call."""
+        return self.replace(
+            u_senders=jnp.asarray(self.u_senders),
+            w_blocks=jnp.asarray(self.w_blocks),
+            job_offsets=jnp.asarray(self.job_offsets),
+            pos=None if self.pos is None else jnp.asarray(self.pos))
+
+
 def pad_dedup_tiles(d: DedupTiles, jobs_to: int,
                     max_jobs_to: int) -> DedupTiles:
     """Pad a DedupTiles layout to a bucketed job count so cluster
@@ -179,6 +219,71 @@ def pad_dedup_tiles(d: DedupTiles, jobs_to: int,
                      max_jobs=max(d.max_jobs, max_jobs_to))
 
 
+def _dedup_tile_scan(senders: np.ndarray, receivers: np.ndarray,
+                     n_nodes: int, tile_rows: int, cu: int,
+                     reorder: bool, seed: int):
+    """Shared host-side build for the dedup layouts: per destination
+    tile, the padded unique-sender list and int8 count blocks —
+    fully vectorized (one global sort over (tile, sender) pairs; the
+    per-tile np.unique loop took 30+ min at 125M edges).
+    Returns (u_flat, w_flat, job_offsets, pos) or None on int8 count
+    overflow (extreme multigraph)."""
+    senders = np.asarray(senders, dtype=np.int64)
+    receivers = np.asarray(receivers, dtype=np.int64)
+    pos = None
+    if reorder and n_nodes > 2 * tile_rows:
+        _, pos = _locality_order(senders, receivers, n_nodes, tile_rows,
+                                 seed=seed)
+        r = pos[receivers]
+    else:
+        r = receivers
+    if len(senders) == 0:
+        return None
+    num_tiles = -(-n_nodes // tile_rows)
+    tile_of = r // tile_rows
+
+    # one global unique over (tile, sender) pairs
+    k = tile_of * n_nodes + senders
+    uk, inv_all = np.unique(k, return_inverse=True)
+    u_tile = (uk // n_nodes).astype(np.int64)
+    u_node = (uk % n_nodes).astype(np.int64)
+    u_cnt = np.bincount(u_tile, minlength=num_tiles)        # U_t per tile
+    u_start = np.zeros(num_tiles + 1, dtype=np.int64)
+    np.cumsum(u_cnt, out=u_start[1:])
+    jobs_per_tile = -(-u_cnt // cu)
+    job_offsets = np.zeros(num_tiles + 1, dtype=np.int64)
+    np.cumsum(jobs_per_tile, out=job_offsets[1:])
+    total_jobs = int(job_offsets[-1])
+    if total_jobs == 0:
+        return None
+
+    # scatter unique sender ids into the cu-padded flat u array
+    pos_in_tile = np.arange(len(uk), dtype=np.int64) - u_start[u_tile]
+    u_slot = ((job_offsets[u_tile] + pos_in_tile // cu) * cu
+              + pos_in_tile % cu)
+    u_flat = np.zeros(total_jobs * cu, dtype=np.int32)
+    u_flat[u_slot] = u_node
+
+    # per-edge W flat index -> run-length-encoded counts
+    local_row = r - tile_of * tile_rows
+    e_upos = pos_in_tile[inv_all]                 # edge's u index in tile
+    w_idx = (((job_offsets[tile_of] + e_upos // cu) * tile_rows
+              + local_row) * cu + e_upos % cu)
+    del k, inv_all, e_upos, local_row
+    w_idx.sort(kind="stable")
+    boundary = np.empty(len(w_idx), dtype=bool)
+    boundary[0] = True
+    np.not_equal(w_idx[1:], w_idx[:-1], out=boundary[1:])
+    starts = np.nonzero(boundary)[0]
+    cnts = np.diff(np.append(starts, len(w_idx)))
+    if cnts.max(initial=0) > 127:
+        return None  # int8 count overflow
+    w_flat = np.zeros(total_jobs * tile_rows * cu, dtype=np.int8)
+    w_flat[w_idx[starts]] = cnts.astype(np.int8)
+    w_flat = w_flat.reshape(total_jobs, tile_rows, cu)
+    return u_flat, w_flat, job_offsets, pos
+
+
 def _build_dedup_tiles(senders: np.ndarray, receivers: np.ndarray,
                        n_nodes: int, *, tile_rows: int = 128, cu: int = 1024,
                        reorder: bool = True, seed: int = 0,
@@ -186,62 +291,69 @@ def _build_dedup_tiles(senders: np.ndarray, receivers: np.ndarray,
                        ) -> Optional[DedupTiles]:
     """Host-side build of the v2 layout; returns None when the layout
     would be counterproductive (W blocks too large, count overflow)."""
-    senders = np.asarray(senders, dtype=np.int64)
-    receivers = np.asarray(receivers, dtype=np.int64)
-    pos = None
-    if reorder and n_nodes > 2 * tile_rows:
-        _, pos = _locality_order(senders, receivers, n_nodes, tile_rows,
-                                 seed=seed)
-        s = senders  # u_senders keep ORIGINAL ids (they index x directly)
-        r = pos[receivers]
-    else:
-        s, r = senders, receivers
-    order = np.argsort(r, kind="stable")
-    ss = senders[order]          # original sender ids
-    rr = r[order]                # (possibly permuted) receiver ids
-    counts = np.bincount(rr, minlength=n_nodes)[:n_nodes]
-    indptr = np.zeros(n_nodes + 1, dtype=np.int64)
-    np.cumsum(counts, out=indptr[1:])
-
-    num_tiles = -(-n_nodes // tile_rows)
-    u_chunks: list = []
-    w_chunks: list = []
-    job_offsets = np.zeros(num_tiles + 1, dtype=np.int64)
-    total_w = 0
-    for i in range(num_tiles):
-        a = indptr[min(i * tile_rows, n_nodes)]
-        b = indptr[min((i + 1) * tile_rows, n_nodes)]
-        seg_s = ss[a:b]
-        if len(seg_s) == 0:
-            job_offsets[i + 1] = job_offsets[i]
-            continue
-        uniq, inv = np.unique(seg_s, return_inverse=True)
-        njobs = -(-len(uniq) // cu)
-        u_pad = njobs * cu
-        u_arr = np.zeros(u_pad, dtype=np.int32)
-        u_arr[:len(uniq)] = uniq
-        t_local = rr[a:b] - i * tile_rows
-        key = ((inv // cu) * (tile_rows * cu) + t_local * cu + inv % cu)
-        w = np.bincount(key, minlength=njobs * tile_rows * cu)
-        if w.max(initial=0) > 127:
-            return None  # int8 count overflow (extreme multigraph)
-        w_chunks.append(w.astype(np.int8).reshape(njobs, tile_rows, cu))
-        u_chunks.append(u_arr)
-        job_offsets[i + 1] = job_offsets[i] + njobs
-        total_w += w_chunks[-1].nbytes
-        if total_w > max_w_bytes:
-            return None
-    if not u_chunks:
+    scan = _dedup_tile_scan(senders, receivers, n_nodes, tile_rows, cu,
+                            reorder, seed)
+    if scan is None:
         return None
-    w_blocks = np.concatenate(w_chunks, axis=0)
-    u_senders = np.concatenate(u_chunks)
+    u_flat, w_flat, job_offsets, pos = scan
+    if w_flat.nbytes > max_w_bytes:
+        return None
     max_jobs = int(np.diff(job_offsets).max())
     return DedupTiles(
-        u_senders=jnp.asarray(u_senders),
-        w_blocks=jnp.asarray(w_blocks),
+        u_senders=jnp.asarray(u_flat),
+        w_blocks=jnp.asarray(w_flat),
         job_offsets=jnp.asarray(job_offsets, dtype=jnp.int32),
         pos=None if pos is None else jnp.asarray(pos, dtype=jnp.int32),
         tile_rows=tile_rows, cu=cu, max_jobs=max_jobs)
+
+
+def _build_dedup_chunked(senders: np.ndarray, receivers: np.ndarray,
+                         n_nodes: int, *, tile_rows: int = 128,
+                         cu: int = 1024, reorder: bool = True, seed: int = 0,
+                         chunk_rows: int = 4 * 2 ** 20,
+                         ) -> Optional[ChunkedDedupTiles]:
+    """Chunked v2 layout for huge graphs: tiles grouped into uniform
+    chunks of ~``chunk_rows`` gathered unique rows each, all padded to
+    one shape so a single compiled kernel serves every chunk."""
+    scan = _dedup_tile_scan(senders, receivers, n_nodes, tile_rows, cu,
+                            reorder, seed)
+    if scan is None:
+        return None
+    u_flat, w_flat, job_offsets, pos = scan
+    num_tiles = len(job_offsets) - 1
+    jobs_per_tile = np.diff(job_offsets)
+    target_jobs = max(1, chunk_rows // cu)
+    mean_jobs = max(float(jobs_per_tile.mean()), 1e-9)
+    tpc = max(1, min(num_tiles, int(target_jobs / mean_jobs)))
+    n_chunks = -(-num_tiles // tpc)
+    # per-chunk job spans (contiguous: jobs are laid out tile-major)
+    chunk_lo = job_offsets[np.minimum(np.arange(n_chunks) * tpc, num_tiles)]
+    chunk_hi = job_offsets[np.minimum((np.arange(n_chunks) + 1) * tpc,
+                                      num_tiles)]
+    jobs_pad = int((chunk_hi - chunk_lo).max())
+    if jobs_pad == 0:
+        return None
+
+    w_out = np.zeros((n_chunks, jobs_pad, tile_rows, cu), dtype=np.int8)
+    u_out = np.zeros((n_chunks, jobs_pad * cu), dtype=np.int32)
+    offs_out = np.zeros((n_chunks, tpc + 1), dtype=np.int64)
+    for c in range(n_chunks):
+        lo, hi = int(chunk_lo[c]), int(chunk_hi[c])
+        w_out[c, :hi - lo] = w_flat[lo:hi]
+        u_out[c, :(hi - lo) * cu] = u_flat[lo * cu:hi * cu]
+        t0, t1 = c * tpc, min((c + 1) * tpc, num_tiles)
+        offs_out[c, :t1 - t0 + 1] = job_offsets[t0:t1 + 1] - lo
+        offs_out[c, t1 - t0 + 1:] = offs_out[c, t1 - t0]  # padded tiles
+    # leaves stay numpy: at Amazon2M scale W is GiB-sized and callers
+    # (layout caching, CPU-side builds) shouldn't pay a device round
+    # trip — jit device-puts them on first dispatch
+    return ChunkedDedupTiles(
+        u_senders=u_out,
+        w_blocks=w_out,
+        job_offsets=offs_out.astype(np.int32),
+        pos=None if pos is None else pos.astype(np.int32),
+        tile_rows=tile_rows, cu=cu,
+        max_jobs=int(jobs_per_tile.max()), num_tiles=num_tiles)
 
 
 @struct.dataclass
@@ -275,6 +387,9 @@ class Graph:
     tiled_t: Optional["TiledCSR"] = None
     dedup: Optional["DedupTiles"] = None
     dedup_t: Optional["DedupTiles"] = None
+    # chunked v2 layout for graphs too large for one-shot gather
+    dedup_c: Optional["ChunkedDedupTiles"] = None
+    dedup_c_t: Optional["ChunkedDedupTiles"] = None
 
     def transpose(self) -> "Graph":
         """Graph of A^T (senders/receivers swapped), sharing buffers."""
@@ -285,25 +400,45 @@ class Graph:
             t_receivers=self.receivers, t_indptr=self.indptr,
             n_nodes=self.n_nodes, n_edges=self.n_edges,
             tiled=self.tiled_t, tiled_t=self.tiled,
-            dedup=self.dedup_t, dedup_t=self.dedup)
+            dedup=self.dedup_t, dedup_t=self.dedup,
+            dedup_c=self.dedup_c_t, dedup_c_t=self.dedup_c)
 
     @property
     def n_edges_padded(self) -> int:
         return self.senders.shape[0]
 
-    def with_tiles(self, tile_rows: int = 128,
-                   mode: str = "dedup") -> "Graph":
+    def with_tiles(self, tile_rows: int = 128, mode: str = "dedup",
+                   chunk_rows: int = 4 * 2 ** 20) -> "Graph":
         """Return a copy carrying the Pallas tile layouts (host-side
         rebuild from the existing edge arrays); no-op if present.
 
         ``mode="dedup"`` builds the v2 block-dense unique-sender layout
-        (falling back to the v1 gather layout when it declines);
-        ``mode="gather"`` forces v1.
+        — flat when it fits, else the chunked variant (huge graphs),
+        else the v1 gather layout; ``mode="dedup-chunked"`` forces
+        chunked; ``mode="gather"`` forces v1.  ``chunk_rows`` bounds
+        one chunk's gathered unique rows (lower it for wide features).
         """
         s = np.asarray(self.senders[:self.n_edges]).astype(np.int64)
         r = np.asarray(self.receivers[:self.n_edges]).astype(np.int64)
         t_s = np.asarray(self.t_senders[:self.n_edges]).astype(np.int64)
         t_r = np.asarray(self.t_receivers[:self.n_edges]).astype(np.int64)
+        # one flat gather of all unique rows beyond ~8M is HBM-hostile
+        # regardless of W size: go straight to the chunked layout
+        huge = self.n_edges > 16 * 2 ** 20
+        if mode == "dedup-chunked" or (mode == "dedup" and huge):
+            if self.dedup_c is not None or self.dedup is not None:
+                return self
+            d = _build_dedup_chunked(s, r, self.n_nodes,
+                                     tile_rows=tile_rows,
+                                     chunk_rows=chunk_rows)
+            d_t = None if d is None else _build_dedup_chunked(
+                t_s, t_r, self.n_nodes, tile_rows=tile_rows,
+                chunk_rows=chunk_rows)
+            if d is not None and d_t is not None:
+                return self.replace(dedup_c=d.to_device(),
+                                    dedup_c_t=d_t.to_device())
+            # fall through (dedup -> flat attempt; dedup-chunked -> v1)
+            mode = "dedup" if mode == "dedup" and not huge else "gather"
         if mode == "dedup":
             if self.dedup is not None:
                 return self

@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gist_tpu.graph import DedupTiles, Graph, TiledCSR
+from gist_tpu.graph import ChunkedDedupTiles, DedupTiles, Graph, TiledCSR
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -218,6 +218,43 @@ def _run_dedup(t: DedupTiles, x: jnp.ndarray, n_nodes: int) -> jnp.ndarray:
     return out[:n_nodes, :f]
 
 
+def _run_dedup_chunked(t: ChunkedDedupTiles, x: jnp.ndarray,
+                       n_nodes: int) -> jnp.ndarray:
+    """Chunked v2: features and W stay resident; each chunk gathers its
+    own bounded slice of unique rows and runs the same compiled kernel
+    (uniform chunk shapes).  ``lax.scan`` serializes the chunks — an
+    unrolled Python loop lets XLA schedule chunks concurrently, which
+    materialized ~10 chunks' gathers + W slices at once and blew HBM at
+    Amazon2M scale.  x is padded to the feature tile ONCE so no 1.3x
+    pad temp appears per chunk."""
+    if t.max_jobs == 0:
+        return jnp.zeros((n_nodes, x.shape[1]), x.dtype)
+    f = x.shape[1]
+    f_tile = _pick_f_tile_dedup(f, t.cu, t.tile_rows, x.dtype.itemsize)
+    f_tiles = _cdiv(f, f_tile)
+    if f % f_tile:
+        x_p = jnp.pad(x, ((0, 0), (0, f_tiles * f_tile - f)))
+    else:
+        x_p = x
+    max_jobs = min(t.max_jobs, int(t.w_blocks.shape[1]))
+
+    def body(_, chunk):
+        offs, w, u_idx = chunk
+        u_rows = jnp.take(x_p, u_idx, axis=0)
+        out_c = _spmm_dedup_call(offs, w, u_rows, None,
+                                 tile_rows=t.tile_rows, cu=t.cu,
+                                 max_jobs=max_jobs, f_tile=f_tile,
+                                 out_dtype=x.dtype)
+        return None, out_c
+
+    _, outs = jax.lax.scan(body, None,
+                           (t.job_offsets, t.w_blocks, t.u_senders))
+    out = outs.reshape(-1, outs.shape[-1])
+    if t.pos is not None:
+        return jnp.take(out, t.pos, axis=0)[:, :f]
+    return out[:n_nodes, :f]
+
+
 def _reduce_kernel(tile_offsets_ref,    # SMEM (num_tiles+1,) scalar prefetch
                    recv_ref,            # VMEM (1, 1, C) current receiver block
                    msgs_ref,            # VMEM (C, TF) current message block
@@ -360,6 +397,8 @@ def _spmm_forward(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
         raise NotImplementedError("pallas spmm expects (N, F) input")
     if graph.dedup is not None:
         return _run_dedup(graph.dedup, x, graph.n_nodes)
+    if graph.dedup_c is not None:
+        return _run_dedup_chunked(graph.dedup_c, x, graph.n_nodes)
     if graph.tiled is None:
         raise NotImplementedError(
             "graph built without tiles=True; pallas backend unavailable")
@@ -373,6 +412,8 @@ def _spmm_fwd(graph, x):
 def _spmm_bwd(graph, g):
     if graph.dedup_t is not None:
         dx = _run_dedup(graph.dedup_t, g, graph.n_nodes)
+    elif graph.dedup_c_t is not None:
+        dx = _run_dedup_chunked(graph.dedup_c_t, g, graph.n_nodes)
     elif graph.tiled_t is not None:
         dx = _run_tiled(graph.tiled_t, g, graph.n_nodes)
     else:

@@ -43,6 +43,7 @@ def resolve_backend(graph: Optional[Graph] = None,
     if backend != "auto":
         return backend
     has_tiles = graph is not None and (graph.dedup is not None
+                                       or graph.dedup_c is not None
                                        or graph.tiled is not None)
     return "pallas" if has_tiles and jax.default_backend() == "tpu" \
         else "segment"
