@@ -40,11 +40,11 @@ def loop_time(fn, g, x, iters):
             return acc + y[0, 0]
         return jax.lax.fori_loop(0, iters, body, jnp.asarray(0.0, x.dtype))
 
-    r = run(g, x)
-    r.block_until_ready()
+    # fetch the scalar: on this remote-execution stack block_until_ready
+    # does not reliably synchronize, a value fetch always does
+    _ = float(run(g, x))
     t0 = time.time()
-    r = run(g, x)
-    r.block_until_ready()
+    _ = float(run(g, x))
     return (time.time() - t0) / iters
 
 
@@ -71,13 +71,14 @@ def main():
     seg_g = graph_from_edges(ds.senders, ds.receivers, ds.n_nodes)
     print(f"graph {time.time()-t0:.0f}s", flush=True)
 
-    cache = f"data/amazon_spmm_layout_tn{tn}_c{chunk_rows}.npz"
+    cache = f"data/amazon_spmm_layout_v2_tn{tn}_c{chunk_rows}.npz"
     t0 = time.time()
     if os.path.exists(cache):
         z = np.load(cache)
         dc = ChunkedDedupTiles(
             u_senders=z["u"], w_blocks=z["w"], job_offsets=z["o"],
-            pos=z["p"] if "p" in z else None, tile_rows=tn, cu=1024,
+            pos=z["p"] if "p" in z else None,
+            perm=z["pm"] if "pm" in z else None, tile_rows=tn, cu=1024,
             max_jobs=int(z["mj"]), num_tiles=int(z["nt"]))
     else:
         dc = _build_dedup_chunked(ds.senders, ds.receivers, ds.n_nodes,
@@ -85,6 +86,8 @@ def main():
         assert dc is not None
         os.makedirs("data", exist_ok=True)
         kw = {} if dc.pos is None else {"p": np.asarray(dc.pos)}
+        if dc.perm is not None:
+            kw["pm"] = np.asarray(dc.perm)
         np.savez(cache, u=np.asarray(dc.u_senders),
                  w=np.asarray(dc.w_blocks),
                  o=np.asarray(dc.job_offsets),

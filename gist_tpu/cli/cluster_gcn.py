@@ -23,6 +23,10 @@ def main(argv=None):
     p.add_argument("--model-type", type=str, default="sage")
     p.add_argument("--cache-dir", type=str, default=None)
     p.add_argument("--eval-cpu", action="store_true")
+    p.add_argument("--eval-every", type=int, default=1,
+                   help="full-graph eval cadence in epochs (huge graphs: "
+                        "eval dominates wall clock; the last epoch always "
+                        "evaluates)")
     p.add_argument("--scan-batches", action="store_true",
                    help="stack each epoch's batches and lax.scan them "
                         "(one dispatch per epoch)")
@@ -46,7 +50,7 @@ def main(argv=None):
         ds, cfg, tc, psize=args.psize, batch_size=args.batch_size,
         use_pp=args.use_pp, use_f1=args.use_f1, normalize=args.normalize,
         cache_dir=args.cache_dir, eval_cpu=args.eval_cpu,
-        scan_batches=args.scan_batches)
+        eval_every=args.eval_every, scan_batches=args.scan_batches)
     write_results(results, args.result_json)
     return results
 

@@ -25,11 +25,19 @@ quality tradeoffs unmeasurable):
 
 from __future__ import annotations
 
+import os
 import zlib
 
 import numpy as np
 
 from gist_tpu.data.container import Dataset
+
+# Graphs at or above this node count are cached to ``data/`` on first
+# generation (synth-amazon2m takes ~5 min to sample; loading the npz
+# takes seconds).  Generation stays bit-deterministic either way — the
+# cache only skips recomputation.
+_CACHE_MIN_NODES = 200_000
+_CACHE_DIR = os.environ.get("GIST_SYNTH_CACHE", "data")
 
 # name -> (n_nodes, avg_degree, n_feats, n_classes, n_train, n_val, n_test)
 SYNTH_SPECS = {
@@ -57,6 +65,16 @@ def synthetic_dataset(name: str, seed: int = 0) -> Dataset:
         raise KeyError(f"unknown synthetic dataset {name!r}; "
                        f"known: {sorted(SYNTH_SPECS)}")
     n, avg_deg, n_feats, n_classes, n_train, n_val, n_test = SYNTH_SPECS[name]
+    cache = None
+    if n >= _CACHE_MIN_NODES:
+        cache = os.path.join(_CACHE_DIR, f"synth_{name}_s{seed}.npz")
+        if os.path.exists(cache):
+            z = np.load(cache)
+            return Dataset(
+                name=name, senders=z["s"], receivers=z["r"],
+                features=z["x"], labels=z["y"], train_mask=z["tr"],
+                val_mask=z["va"], test_mask=z["te"],
+                n_classes=n_classes)
     # zlib.crc32 is stable across processes (Python's str hash is salted
     # per interpreter, which made "deterministic" datasets vary by run).
     rng = np.random.default_rng(seed ^ (zlib.crc32(name.encode()) & 0xFFFF))
@@ -128,6 +146,16 @@ def synthetic_dataset(name: str, seed: int = 0) -> Dataset:
     else:
         test_mask[perm[n_train + n_val:]] = True
 
+    if cache is not None:
+        try:
+            os.makedirs(_CACHE_DIR, exist_ok=True)
+            tmp = cache + ".tmp.npz"
+            with open(tmp, "wb") as fh:   # file object: no .npz append
+                np.savez(fh, s=senders, r=receivers, x=feats, y=labels,
+                         tr=train_mask, va=val_mask, te=test_mask)
+            os.replace(tmp, cache)        # atomic vs concurrent readers
+        except OSError:
+            pass  # cache is best-effort (read-only dirs, full disk)
     return Dataset(
         name=name, senders=senders, receivers=receivers, features=feats,
         labels=labels, train_mask=train_mask, val_mask=val_mask,

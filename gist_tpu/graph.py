@@ -135,10 +135,16 @@ class DedupTiles:
     row in kernel output order).
     """
 
-    u_senders: jnp.ndarray    # (U_pad,) int32 — original x row per slot
+    u_senders: jnp.ndarray    # (U_pad,) int32 — x row per slot (see perm)
     w_blocks: jnp.ndarray     # (J, TN, CU) int8 — per-job count blocks
     job_offsets: jnp.ndarray  # (num_tiles+1,) int32 — job index per tile
     pos: Optional[jnp.ndarray]  # (N,) int32 node->output row, or None (id)
+    # (N,) int32 output row -> node, or None.  When set, u_senders hold
+    # PERMUTED ids: runners first reorder x once (x_p = x[perm]) so each
+    # tile's gather indices are sorted and cluster-local — at large N a
+    # raw-id gather is random access over the whole feature table and
+    # runs latency-bound (measured 10x slower than streaming).
+    perm: Optional[jnp.ndarray]
     tile_rows: int = struct.field(pytree_node=False)   # TN
     cu: int = struct.field(pytree_node=False)          # CU (u rows / block)
     max_jobs: int = struct.field(pytree_node=False)
@@ -176,6 +182,7 @@ class ChunkedDedupTiles:
     w_blocks: jnp.ndarray     # (n_chunks, jobs_pad, TN, CU) int8
     job_offsets: jnp.ndarray  # (n_chunks, tiles_per_chunk + 1) int32 rebased
     pos: Optional[jnp.ndarray]  # (N,) int32 node -> output row, or None
+    perm: Optional[jnp.ndarray]  # (N,) int32 row -> node (see DedupTiles)
     tile_rows: int = struct.field(pytree_node=False)
     cu: int = struct.field(pytree_node=False)
     max_jobs: int = struct.field(pytree_node=False)   # per tile
@@ -198,7 +205,8 @@ class ChunkedDedupTiles:
             u_senders=jnp.asarray(self.u_senders),
             w_blocks=jnp.asarray(self.w_blocks),
             job_offsets=jnp.asarray(self.job_offsets),
-            pos=None if self.pos is None else jnp.asarray(self.pos))
+            pos=None if self.pos is None else jnp.asarray(self.pos),
+            perm=None if self.perm is None else jnp.asarray(self.perm))
 
 
 def pad_dedup_tiles(d: DedupTiles, jobs_to: int,
@@ -230,11 +238,15 @@ def _dedup_tile_scan(senders: np.ndarray, receivers: np.ndarray,
     overflow (extreme multigraph)."""
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
-    pos = None
+    pos = perm = None
     if reorder and n_nodes > 2 * tile_rows:
-        _, pos = _locality_order(senders, receivers, n_nodes, tile_rows,
-                                 seed=seed)
+        perm, pos = _locality_order(senders, receivers, n_nodes, tile_rows,
+                                    seed=seed)
         r = pos[receivers]
+        # senders also move to permuted space: each tile's unique list
+        # becomes sorted + cluster-local, so the phase-1 gather streams
+        # neighborhoods instead of random-accessing the whole table
+        senders = pos[senders]
     else:
         r = receivers
     if len(senders) == 0:
@@ -281,7 +293,7 @@ def _dedup_tile_scan(senders: np.ndarray, receivers: np.ndarray,
     w_flat = np.zeros(total_jobs * tile_rows * cu, dtype=np.int8)
     w_flat[w_idx[starts]] = cnts.astype(np.int8)
     w_flat = w_flat.reshape(total_jobs, tile_rows, cu)
-    return u_flat, w_flat, job_offsets, pos
+    return u_flat, w_flat, job_offsets, pos, perm
 
 
 def _build_dedup_tiles(senders: np.ndarray, receivers: np.ndarray,
@@ -295,7 +307,7 @@ def _build_dedup_tiles(senders: np.ndarray, receivers: np.ndarray,
                             reorder, seed)
     if scan is None:
         return None
-    u_flat, w_flat, job_offsets, pos = scan
+    u_flat, w_flat, job_offsets, pos, perm = scan
     if w_flat.nbytes > max_w_bytes:
         return None
     max_jobs = int(np.diff(job_offsets).max())
@@ -304,6 +316,7 @@ def _build_dedup_tiles(senders: np.ndarray, receivers: np.ndarray,
         w_blocks=jnp.asarray(w_flat),
         job_offsets=jnp.asarray(job_offsets, dtype=jnp.int32),
         pos=None if pos is None else jnp.asarray(pos, dtype=jnp.int32),
+        perm=None if perm is None else jnp.asarray(perm, dtype=jnp.int32),
         tile_rows=tile_rows, cu=cu, max_jobs=max_jobs)
 
 
@@ -319,7 +332,7 @@ def _build_dedup_chunked(senders: np.ndarray, receivers: np.ndarray,
                             reorder, seed)
     if scan is None:
         return None
-    u_flat, w_flat, job_offsets, pos = scan
+    u_flat, w_flat, job_offsets, pos, perm = scan
     num_tiles = len(job_offsets) - 1
     jobs_per_tile = np.diff(job_offsets)
     target_jobs = max(1, chunk_rows // cu)
@@ -352,6 +365,7 @@ def _build_dedup_chunked(senders: np.ndarray, receivers: np.ndarray,
         w_blocks=w_out,
         job_offsets=offs_out.astype(np.int32),
         pos=None if pos is None else pos.astype(np.int32),
+        perm=None if perm is None else perm.astype(np.int32),
         tile_rows=tile_rows, cu=cu,
         max_jobs=int(jobs_per_tile.max()), num_tiles=num_tiles)
 

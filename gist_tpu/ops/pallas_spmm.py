@@ -206,6 +206,10 @@ def _run_dedup(t: DedupTiles, x: jnp.ndarray, n_nodes: int) -> jnp.ndarray:
     if t.max_jobs == 0:
         return jnp.zeros((n_nodes, x.shape[1]), x.dtype)
     f = x.shape[1]
+    if t.perm is not None:
+        # one streaming permute so per-tile gather indices are sorted
+        # and cluster-local (u_senders are in permuted space)
+        x = jnp.take(x, t.perm, axis=0)
     u_rows = jnp.take(x, t.u_senders, axis=0)        # (U_pad, F) phase 1
     f_tile = _pick_f_tile_dedup(f, t.cu, t.tile_rows,
                                 u_rows.dtype.itemsize)
@@ -230,6 +234,8 @@ def _run_dedup_chunked(t: ChunkedDedupTiles, x: jnp.ndarray,
     if t.max_jobs == 0:
         return jnp.zeros((n_nodes, x.shape[1]), x.dtype)
     f = x.shape[1]
+    if t.perm is not None:
+        x = jnp.take(x, t.perm, axis=0)  # see _run_dedup
     f_tile = _pick_f_tile_dedup(f, t.cu, t.tile_rows, x.dtype.itemsize)
     f_tiles = _cdiv(f, f_tile)
     if f % f_tile:

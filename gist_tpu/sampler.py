@@ -99,6 +99,43 @@ class ClusterSampler:
         self._order = np.arange(len(self.partitions))
         self.rng.shuffle(self._order)
 
+        # receiver-sorted CSR over the train subgraph: batch extraction
+        # then touches only the batch's incident edges (O(sum deg)).
+        # Scanning the whole edge list per batch — as g.subgraph must —
+        # is O(E) per batch and unusable at Amazon2M scale (85M train
+        # edges x 1500 batches/epoch).
+        order = np.argsort(self.receivers, kind="stable")
+        self._csr_senders = self.senders[order]
+        deg = np.bincount(self.receivers, minlength=self.n_nodes)
+        self._csr_indptr = np.zeros(self.n_nodes + 1, np.int64)
+        np.cumsum(deg, out=self._csr_indptr[1:])
+        # stamped scratch map: avoids an O(N) reset per batch
+        self._map_local = np.zeros(self.n_nodes, np.int64)
+        self._map_gen = np.zeros(self.n_nodes, np.int64)
+        self._gen = 0
+
+    def _csr_subgraph(self, node_ids: np.ndarray):
+        """Induced subgraph via the CSR index; edges relabeled to
+        [0, len(node_ids)) in node_ids order (same contract as
+        graph.subgraph)."""
+        ptr, cs = self._csr_indptr, self._csr_senders
+        lo, hi = ptr[node_ids], ptr[node_ids + 1]
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            z = np.zeros(0, np.int64)
+            return z, z
+        starts = np.zeros(len(node_ids), np.int64)
+        np.cumsum(cnt[:-1], out=starts[1:])
+        idx = np.repeat(lo - starts, cnt) + np.arange(total)
+        dst_local = np.repeat(np.arange(len(node_ids), dtype=np.int64), cnt)
+        src_global = cs[idx]
+        self._gen += 1
+        self._map_local[node_ids] = np.arange(len(node_ids))
+        self._map_gen[node_ids] = self._gen
+        keep = self._map_gen[src_global] == self._gen
+        return self._map_local[src_global[keep]], dst_local[keep]
+
     def _with_bucketed_tiles(self, g: Graph) -> Graph:
         """Dedup tile layout with job counts padded to geometric buckets
         (cluster batch nodes are already cluster-grouped, so no extra
@@ -159,13 +196,7 @@ class ClusterSampler:
                    node_pad: Optional[int] = None,
                    edge_pad: Optional[int] = None) -> ClusterBatch:
         node_ids = np.asarray(node_ids, dtype=np.int64)
-        try:
-            from gist_tpu.partition.native import native_subgraph
-            s, r = native_subgraph(self.senders, self.receivers, node_ids,
-                                   self.n_nodes)
-        except (ImportError, OSError):
-            s, r, _ = subgraph(self.senders, self.receivers, node_ids,
-                               self.n_nodes)
+        s, r = self._csr_subgraph(node_ids)
         n = len(node_ids)
         n_pad = node_pad or bucket_size(n, self.bucket_growth)
         e_pad = edge_pad or bucket_size(max(len(s), 1), self.bucket_growth)

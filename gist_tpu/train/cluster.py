@@ -159,14 +159,17 @@ def train_cluster_gcn(
         total_time += dt
         epoch_times.append(dt)
         epoch_edges.append(total_edges - sum(epoch_edges))
-        if (epoch + 1) % eval_every == 0 or epoch == tc.n_epochs - 1:
+        evaluated = (epoch + 1) % eval_every == 0 or epoch == tc.n_epochs - 1
+        if evaluated:
             va, ta = evaluate(params)
             val_accs.append(va)
             test_accs.append(ta)
         losses.append(epoch_loss / max(nb, 1))
         if verbose:
-            print(f"Epoch {epoch}: loss {losses[-1]:.4f} "
-                  f"val {val_accs[-1]:.4f}", flush=True)
+            val_s = f"val {val_accs[-1]:.4f}" if evaluated else \
+                f"epoch_s {dt:.2f}"
+            print(f"Epoch {epoch}: loss {losses[-1]:.4f} {val_s}",
+                  flush=True)
 
     # steady state excludes epoch 0 (jit compile dominates it on TPU)
     steady_t = sum(epoch_times[1:])
