@@ -209,8 +209,8 @@ class ChunkedDedupTiles:
             perm=None if self.perm is None else jnp.asarray(self.perm))
 
 
-def pad_dedup_tiles(d: DedupTiles, jobs_to: int,
-                    max_jobs_to: int) -> DedupTiles:
+def pad_dedup_tiles(d: DedupTiles, jobs_to: int, max_jobs_to: int,
+                    as_numpy: bool = False) -> DedupTiles:
     """Pad a DedupTiles layout to a bucketed job count so cluster
     batches in one size bucket share a jit cache entry.  Padding jobs
     are never indexed (``job_offsets`` is untouched and the kernel
@@ -223,7 +223,8 @@ def pad_dedup_tiles(d: DedupTiles, jobs_to: int,
         w = np.concatenate(
             [w, np.zeros((extra, d.tile_rows, d.cu), np.int8)], axis=0)
         u = np.concatenate([u, np.zeros(extra * d.cu, np.int32)])
-    return d.replace(w_blocks=jnp.asarray(w), u_senders=jnp.asarray(u),
+    conv = np.asarray if as_numpy else jnp.asarray
+    return d.replace(w_blocks=conv(w), u_senders=conv(u),
                      max_jobs=max(d.max_jobs, max_jobs_to))
 
 
@@ -300,6 +301,7 @@ def _build_dedup_tiles(senders: np.ndarray, receivers: np.ndarray,
                        n_nodes: int, *, tile_rows: int = 128, cu: int = 1024,
                        reorder: bool = True, seed: int = 0,
                        max_w_bytes: int = 512 * 2 ** 20,
+                       as_numpy: bool = False,
                        ) -> Optional[DedupTiles]:
     """Host-side build of the v2 layout; returns None when the layout
     would be counterproductive (W blocks too large, count overflow)."""
@@ -311,12 +313,13 @@ def _build_dedup_tiles(senders: np.ndarray, receivers: np.ndarray,
     if w_flat.nbytes > max_w_bytes:
         return None
     max_jobs = int(np.diff(job_offsets).max())
+    conv = np.asarray if as_numpy else jnp.asarray
     return DedupTiles(
-        u_senders=jnp.asarray(u_flat),
-        w_blocks=jnp.asarray(w_flat),
-        job_offsets=jnp.asarray(job_offsets, dtype=jnp.int32),
-        pos=None if pos is None else jnp.asarray(pos, dtype=jnp.int32),
-        perm=None if perm is None else jnp.asarray(perm, dtype=jnp.int32),
+        u_senders=conv(u_flat),
+        w_blocks=conv(w_flat),
+        job_offsets=conv(job_offsets.astype(np.int32)),
+        pos=None if pos is None else conv(pos.astype(np.int32)),
+        perm=None if perm is None else conv(perm.astype(np.int32)),
         tile_rows=tile_rows, cu=cu, max_jobs=max_jobs)
 
 
@@ -494,11 +497,15 @@ def graph_from_edges(
     tiles: bool = False,
     tile_rows: int = 128,
     tile_mode: str = "dedup",
+    numpy: bool = False,
 ) -> Graph:
     """Build a receiver-sorted padded Graph from a raw COO edge list.
 
     Host-side (numpy) preprocessing — runs once per graph / cluster
-    bucket, off the jit path.
+    bucket, off the jit path.  ``numpy=True`` leaves the arrays on the
+    host (for callers that stack many graphs before one device
+    transfer — per-batch H2D through a remote tunnel costs more than
+    the batch compute).
     """
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
@@ -533,15 +540,17 @@ def graph_from_edges(
     t_indptr = np.zeros(n_nodes + 1, dtype=np.int64)
     np.cumsum(out_counts, out=t_indptr[1:])
 
+    conv = (lambda a, dt: np.asarray(a, dtype=dt)) if numpy \
+        else (lambda a, dt: jnp.asarray(a, dtype=dt))
     g = Graph(
-        senders=jnp.asarray(senders_p, dtype=jnp.int32),
-        receivers=jnp.asarray(receivers_p, dtype=jnp.int32),
-        indptr=jnp.asarray(indptr, dtype=jnp.int32),
-        in_degrees=jnp.asarray(counts, dtype=jnp.float32),
-        out_degrees=jnp.asarray(out_counts, dtype=jnp.float32),
-        t_senders=jnp.asarray(t_senders_p, dtype=jnp.int32),
-        t_receivers=jnp.asarray(t_receivers_p, dtype=jnp.int32),
-        t_indptr=jnp.asarray(t_indptr, dtype=jnp.int32),
+        senders=conv(senders_p, np.int32),
+        receivers=conv(receivers_p, np.int32),
+        indptr=conv(indptr, np.int32),
+        in_degrees=conv(counts, np.float32),
+        out_degrees=conv(out_counts, np.float32),
+        t_senders=conv(t_senders_p, np.int32),
+        t_receivers=conv(t_receivers_p, np.int32),
+        t_indptr=conv(t_indptr, np.int32),
         n_nodes=int(n_nodes),
         n_edges=n_edges,
     )

@@ -136,7 +136,7 @@ class ClusterSampler:
         keep = self._map_gen[src_global] == self._gen
         return self._map_local[src_global[keep]], dst_local[keep]
 
-    def _with_bucketed_tiles(self, g: Graph) -> Graph:
+    def _with_bucketed_tiles(self, g: Graph, numpy: bool = False) -> Graph:
         """Dedup tile layout with job counts padded to geometric buckets
         (cluster batch nodes are already cluster-grouped, so no extra
         locality reorder)."""
@@ -145,17 +145,18 @@ class ClusterSampler:
         r = np.asarray(g.receivers[:g.n_edges]).astype(np.int64)
         t_s = np.asarray(g.t_senders[:g.n_edges]).astype(np.int64)
         t_r = np.asarray(g.t_receivers[:g.n_edges]).astype(np.int64)
-        d = _build_dedup_tiles(s, r, g.n_nodes, reorder=False)
+        d = _build_dedup_tiles(s, r, g.n_nodes, reorder=False,
+                               as_numpy=numpy)
         d_t = None if d is None else _build_dedup_tiles(
-            t_s, t_r, g.n_nodes, reorder=False)
+            t_s, t_r, g.n_nodes, reorder=False, as_numpy=numpy)
         if d is None or d_t is None:
             return g
         gr = self.bucket_growth
         d = pad_dedup_tiles(d, bucket_size(int(d.w_blocks.shape[0]), gr, 8),
-                            bucket_size(d.max_jobs, gr, 4))
+                            bucket_size(d.max_jobs, gr, 4), as_numpy=numpy)
         d_t = pad_dedup_tiles(
             d_t, bucket_size(int(d_t.w_blocks.shape[0]), gr, 8),
-            bucket_size(d_t.max_jobs, gr, 4))
+            bucket_size(d_t.max_jobs, gr, 4), as_numpy=numpy)
         return g.replace(dedup=d, dedup_t=d_t)
 
     def _precalc(self, feats: np.ndarray) -> np.ndarray:
@@ -194,19 +195,25 @@ class ClusterSampler:
 
     def make_batch(self, node_ids: np.ndarray,
                    node_pad: Optional[int] = None,
-                   edge_pad: Optional[int] = None) -> ClusterBatch:
+                   edge_pad: Optional[int] = None,
+                   edges: Optional[tuple] = None,
+                   numpy: bool = False) -> ClusterBatch:
+        """``edges`` passes a precomputed ``_csr_subgraph`` result
+        (round collectors extract once, then re-pad).  ``numpy=True``
+        keeps every leaf on the host so a whole epoch can be stacked
+        into one device transfer instead of one per batch."""
         node_ids = np.asarray(node_ids, dtype=np.int64)
-        s, r = self._csr_subgraph(node_ids)
+        s, r = edges if edges is not None else self._csr_subgraph(node_ids)
         n = len(node_ids)
         n_pad = node_pad or bucket_size(n, self.bucket_growth)
         e_pad = edge_pad or bucket_size(max(len(s), 1), self.bucket_growth)
-        g = graph_from_edges(s, r, n_pad, pad_to=e_pad)
+        g = graph_from_edges(s, r, n_pad, pad_to=e_pad, numpy=numpy)
         tiles = self.tiles
         if tiles is None:
             from gist_tpu.ops.spmm import tiles_wanted
             tiles = tiles_wanted() and len(s) >= self.tiles_min_edges
         if tiles:
-            g = self._with_bucketed_tiles(g)
+            g = self._with_bucketed_tiles(g, numpy=numpy)
 
         feats = np.zeros((n_pad, self.features.shape[1]), np.float32)
         feats[:n] = self.features[node_ids]
@@ -214,11 +221,12 @@ class ClusterSampler:
         labels[:n] = self.labels[node_ids]
         mask = np.zeros((n_pad,), bool)
         mask[:n] = self.train_mask[node_ids]
+        conv = np.asarray if numpy else jnp.asarray
         return ClusterBatch(
             graph=g,
-            features=jnp.asarray(feats),
-            labels=jnp.asarray(labels),
-            train_mask=jnp.asarray(mask),
+            features=conv(feats),
+            labels=conv(labels),
+            train_mask=conv(mask),
             n_real_nodes=n,
             n_real_edges=len(s),
         )

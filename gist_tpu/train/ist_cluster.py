@@ -35,15 +35,25 @@ from gist_tpu.train.common import TrainConfig, reference_lr_schedule
 
 def _stack_batches(batches):
     """Stack ClusterBatches (re-padded to a common bucket) on a leading
-    scan axis, as the (graph, feats, labels, mask) tuple round_fn scans."""
+    scan axis, as the (graph, feats, labels, mask) tuple round_fn scans.
+
+    numpy-leaf batches stack on the host and transfer once; device-leaf
+    batches stack on device (an epoch of per-batch H2D transfers costs
+    more than the epoch's compute through a remote tunnel)."""
     # n_edges is static pytree aux data and varies per batch; normalize
     # to the (shared) padded count so the Graphs stack.
     graphs = [b.graph.replace(n_edges=b.graph.n_edges_padded)
               for b in batches]
-    g = jax.tree.map(lambda *xs: jnp.stack(xs), *graphs)
-    feats = jnp.stack([b.features for b in batches])
-    labels = jnp.stack([b.labels for b in batches])
-    masks = jnp.stack([b.train_mask for b in batches])
+
+    def stack(*xs):
+        if isinstance(xs[0], np.ndarray):
+            return jnp.asarray(np.stack(xs))
+        return jnp.stack(xs)
+
+    g = jax.tree.map(stack, *graphs)
+    feats = stack(*[b.features for b in batches])
+    labels = stack(*[b.labels for b in batches])
+    masks = stack(*[b.train_mask for b in batches])
     return (g, feats, labels, masks)
 
 
@@ -60,15 +70,14 @@ class _RoundCollector:
         id_sets = [next(self._gen) for _ in range(self.spr)]
         from gist_tpu.sampler import bucket_size
         node_pad = max(bucket_size(len(ids)) for ids in id_sets)
-        batches = [self.sampler.make_batch(ids, node_pad=node_pad)
-                   for ids in id_sets]
-        edge_pad = max(b.graph.n_edges_padded for b in batches)
-        batches = [
-            b if b.graph.n_edges_padded == edge_pad else
-            self.sampler.make_batch(ids, node_pad=node_pad,
-                                    edge_pad=edge_pad)
-            for b, ids in zip(batches, id_sets)]
-        return batches
+        # extract each subgraph once, size the shared edge bucket, then
+        # build numpy batches (stacked host-side -> one H2D per round)
+        edges = [self.sampler._csr_subgraph(ids) for ids in id_sets]
+        edge_pad = max(bucket_size(max(len(s), 1)) for s, _ in edges)
+        return [self.sampler.make_batch(ids, node_pad=node_pad,
+                                        edge_pad=edge_pad, edges=e,
+                                        numpy=True)
+                for ids, e in zip(id_sets, edges)]
 
 
 def train_ist_cluster(
