@@ -230,24 +230,31 @@ def pad_dedup_tiles(d: DedupTiles, jobs_to: int, max_jobs_to: int,
 
 def _dedup_tile_scan(senders: np.ndarray, receivers: np.ndarray,
                      n_nodes: int, tile_rows: int, cu: int,
-                     reorder: bool, seed: int):
+                     reorder: bool, seed: int, permute_u: bool = False):
     """Shared host-side build for the dedup layouts: per destination
     tile, the padded unique-sender list and int8 count blocks —
     fully vectorized (one global sort over (tile, sender) pairs; the
     per-tile np.unique loop took 30+ min at 125M edges).
-    Returns (u_flat, w_flat, job_offsets, pos) or None on int8 count
-    overflow (extreme multigraph)."""
+    Returns (u_flat, w_flat, job_offsets, pos, perm) or None on int8
+    count overflow (extreme multigraph).
+
+    ``permute_u``: emit unique-sender ids in the locality-permuted
+    space (runners then reorder x once per call, making per-tile
+    gather indices sorted and cluster-local).  Measured NEUTRAL at
+    Amazon2M scale — the XLA gather is op-rate-bound, not
+    locality-bound (PERF.md) — and a small per-call cost at benchmark
+    scale, so only the chunked layout keeps it (where the permute is
+    noise and the sorted ids help the planned window-split kernel)."""
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
     pos = perm = None
     if reorder and n_nodes > 2 * tile_rows:
-        perm, pos = _locality_order(senders, receivers, n_nodes, tile_rows,
-                                    seed=seed)
+        order_perm, pos = _locality_order(senders, receivers, n_nodes,
+                                          tile_rows, seed=seed)
         r = pos[receivers]
-        # senders also move to permuted space: each tile's unique list
-        # becomes sorted + cluster-local, so the phase-1 gather streams
-        # neighborhoods instead of random-accessing the whole table
-        senders = pos[senders]
+        if permute_u:
+            perm = order_perm
+            senders = pos[senders]
     else:
         r = receivers
     if len(senders) == 0:
@@ -332,7 +339,7 @@ def _build_dedup_chunked(senders: np.ndarray, receivers: np.ndarray,
     chunks of ~``chunk_rows`` gathered unique rows each, all padded to
     one shape so a single compiled kernel serves every chunk."""
     scan = _dedup_tile_scan(senders, receivers, n_nodes, tile_rows, cu,
-                            reorder, seed)
+                            reorder, seed, permute_u=True)
     if scan is None:
         return None
     u_flat, w_flat, job_offsets, pos, perm = scan
