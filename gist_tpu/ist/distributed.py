@@ -60,12 +60,15 @@ def build_ist_round(
 ) -> Callable:
     """Build the jitted one-round function:
 
-        full_params, losses = round_fn(full_params, bnds, batches, lr, key)
+        full_params, losses = round_fn(full_params, bnds, batches, lr,
+                                       key, tables)
 
-    ``batches`` is a pytree (graph/features/labels/mask, see
-    ``gist_tpu.sampler.ClusterBatch``) with a leading (n_steps,) scan
-    axis, replicated to every subnet (the reference gives every rank an
-    identically-seeded cluster stream — run_ist_sweep_reddit.py:68).
+    ``batches`` is a pytree with a leading (n_steps,) scan axis,
+    replicated to every subnet (the reference gives every rank an
+    identically-seeded cluster stream — run_ist_sweep_reddit.py:68):
+    either inline (graph, feats, labels, mask) tuples or ids-form
+    (graph, node_ids) tuples paired with ``tables`` =
+    ``ClusterSampler.tables()`` (pass tables=None for inline).
     ``lr`` is a scalar; a fresh Adam state is created inside the round
     (fresh-optimizer-per-dispatch semantics, ist_distrib.py:400-407).
     """
@@ -87,10 +90,10 @@ def build_ist_round(
     batch_spec = P("subnet") if per_subnet_batches else P()
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P(), batch_spec, P(), P()),
+             in_specs=(P(), P(), batch_spec, P(), P(), P()),
              out_specs=(P(), P("subnet")),
              check_vma=False)
-    def round_fn(full_params, bnds, batches, lr, key):
+    def round_fn(full_params, bnds, batches, lr, key, tables):
         if per_subnet_batches:
             # leading (1,) local slice of the per-subnet batch stack
             batches = jax.tree.map(lambda a: a[0], batches)
@@ -103,7 +106,9 @@ def build_ist_round(
         def body(carry, batch):
             sub, opt_state, key = carry
             key, dk = jax.random.split(key)
-            graph, feats, labels, mask = batch
+            from gist_tpu.sampler import ClusterSampler
+            graph, feats, labels, mask = ClusterSampler.resolve_batch(
+                batch, tables)
             if split_input and bnds[0] is not None:
                 feats = jnp.take(feats, bnds[0][s], axis=1)
             sub, opt_state, loss = local_step(
@@ -187,7 +192,7 @@ def run_distributed_ist(
         lr = reference_lr_schedule(tc.lr, n_rounds * spr, rnd * spr)
         drop_key, dk = jax.random.split(drop_key)
         full_params, rl = round_fn(full_params, bnds, batches,
-                                   jnp.asarray(lr), dk)
+                                   jnp.asarray(lr), dk, None)
         va, ta = evaluate(full_params)
         val_accs.append(float(va))
         test_accs.append(float(ta))

@@ -150,17 +150,19 @@ def merge_host(params: dict, bnds: Boundaries, stacked: dict,
 # ---------------------------------------------------------------------------
 
 def build_local_burst(model, sub_cfg, *, mesh: Mesh, weight_decay: float):
-    """jitted: (stacked_subs sharded over 'subnet', batches, lr, key) ->
-    (trained stacked_subs, losses)."""
+    """jitted: (stacked_subs sharded over 'subnet', batches, lr, key,
+    tables) -> (trained stacked_subs, losses).  ``batches``/``tables``
+    as in build_ist_round: inline 4-tuples with tables=None, or
+    ids-form 2-tuples with ``ClusterSampler.tables()``."""
     opt = optax.inject_hyperparams(make_optimizer,
                                    static_args=("weight_decay",))(
         lr=1e-2, weight_decay=weight_decay)
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P("subnet"), P(), P(), P()),
+             in_specs=(P("subnet"), P(), P(), P(), P()),
              out_specs=(P("subnet"), P("subnet")),
              check_vma=False)
-    def burst(stacked, batches, lr, key):
+    def burst(stacked, batches, lr, key, tables):
         sub = jax.tree.map(lambda a: a[0], stacked)   # local (1, ...) -> (...)
         s = jax.lax.axis_index("subnet")
         key = jax.random.fold_in(key, s)
@@ -170,7 +172,9 @@ def build_local_burst(model, sub_cfg, *, mesh: Mesh, weight_decay: float):
         def body(carry, batch):
             sub, opt_state, key = carry
             key, dk = jax.random.split(key)
-            graph, feats, labels, mask = batch
+            from gist_tpu.sampler import ClusterSampler
+            graph, feats, labels, mask = ClusterSampler.resolve_batch(
+                batch, tables)
 
             def loss_fn(p):
                 logits = model.apply(p, graph, feats, sub_cfg, train=True,

@@ -42,13 +42,21 @@ def bucket_size(n: int, growth: float = 1.2, min_size: int = 256) -> int:
 
 @struct.dataclass
 class ClusterBatch:
-    """A padded training batch: induced subgraph + node data."""
+    """A padded training batch: induced subgraph + node data.
+
+    Two forms: *inline* (features/labels/train_mask materialized per
+    batch) and *ids* (``node_ids`` into the sampler's device-resident
+    tables, padding rows pointing at the appended zero row).  The ids
+    form ships ~100x fewer feature bytes to the device per epoch —
+    host->device bandwidth, not compute, dominates scan-fused epochs
+    on big clustered graphs."""
     graph: Graph
-    features: jnp.ndarray    # (N_pad, F)
-    labels: jnp.ndarray      # (N_pad,)
-    train_mask: jnp.ndarray  # (N_pad,) — False on padding nodes
+    features: Optional[jnp.ndarray]    # (N_pad, F) or None (ids form)
+    labels: Optional[jnp.ndarray]      # (N_pad,) or None
+    train_mask: Optional[jnp.ndarray]  # (N_pad,) — False on padding
     n_real_nodes: int = struct.field(pytree_node=False)
     n_real_edges: int = struct.field(pytree_node=False)
+    node_ids: Optional[jnp.ndarray] = None  # (N_pad,) into tables()
 
 
 class ClusterSampler:
@@ -193,15 +201,44 @@ class ClusterSampler:
         for node_ids in self._epoch_ids():
             yield self.make_batch(node_ids)
 
+    @staticmethod
+    def resolve_batch(batch, tables):
+        """One scan step's (graph, feats, labels, mask) from either
+        batch form: inline 4-tuples pass through; ids 2-tuples gather
+        node rows from ``tables()`` inside the jitted step."""
+        if len(batch) == 4:
+            return batch
+        graph, ids = batch
+        ft, lt, mt = tables
+        return (graph, jnp.take(ft, ids, axis=0), jnp.take(lt, ids),
+                jnp.take(mt, ids))
+
+    def tables(self):
+        """Device-resident (features, labels, train_mask) over the
+        train subgraph with a zero row appended — the gather target of
+        ids-form batches (padding ids point at the zero row).  Built
+        once, cached."""
+        if not hasattr(self, "_tables"):
+            f = np.concatenate(
+                [self.features,
+                 np.zeros((1, self.features.shape[1]), np.float32)])
+            l = np.concatenate([self.labels, np.zeros(1, np.int32)])
+            m = np.concatenate([self.train_mask, np.zeros(1, bool)])
+            self._tables = (jnp.asarray(f), jnp.asarray(l), jnp.asarray(m))
+        return self._tables
+
     def make_batch(self, node_ids: np.ndarray,
                    node_pad: Optional[int] = None,
                    edge_pad: Optional[int] = None,
                    edges: Optional[tuple] = None,
-                   numpy: bool = False) -> ClusterBatch:
+                   numpy: bool = False,
+                   ids_only: bool = False) -> ClusterBatch:
         """``edges`` passes a precomputed ``_csr_subgraph`` result
         (round collectors extract once, then re-pad).  ``numpy=True``
         keeps every leaf on the host so a whole epoch can be stacked
-        into one device transfer instead of one per batch."""
+        into one device transfer instead of one per batch.
+        ``ids_only=True`` produces the ids batch form (see
+        ClusterBatch)."""
         node_ids = np.asarray(node_ids, dtype=np.int64)
         s, r = edges if edges is not None else self._csr_subgraph(node_ids)
         n = len(node_ids)
@@ -215,13 +252,20 @@ class ClusterSampler:
         if tiles:
             g = self._with_bucketed_tiles(g, numpy=numpy)
 
+        conv = np.asarray if numpy else jnp.asarray
+        if ids_only:
+            ids = np.full(n_pad, self.n_nodes, np.int32)  # -> zero row
+            ids[:n] = node_ids
+            return ClusterBatch(
+                graph=g, features=None, labels=None, train_mask=None,
+                n_real_nodes=n, n_real_edges=len(s), node_ids=conv(ids))
+
         feats = np.zeros((n_pad, self.features.shape[1]), np.float32)
         feats[:n] = self.features[node_ids]
         labels = np.zeros((n_pad,), np.int32)
         labels[:n] = self.labels[node_ids]
         mask = np.zeros((n_pad,), bool)
         mask[:n] = self.train_mask[node_ids]
-        conv = np.asarray if numpy else jnp.asarray
         return ClusterBatch(
             graph=g,
             features=conv(feats),

@@ -70,11 +70,12 @@ def train_cluster_gcn(
         return params, opt_state, loss
 
     @jax.jit
-    def train_epoch_scanned(params, opt_state, stacked, key):
+    def train_epoch_scanned(params, opt_state, stacked, key, tables):
         def body(carry, batch):
             params, opt_state, key = carry
             key, dk = jax.random.split(key)
-            graph, feats, labels, mask = batch
+            graph, feats, labels, mask = ClusterSampler.resolve_batch(
+                batch, tables)
 
             def loss_fn(p):
                 logits = model.apply(p, graph, feats, model_cfg,
@@ -125,8 +126,9 @@ def train_cluster_gcn(
     from gist_tpu.utils import prefetch
 
     from gist_tpu.train.ist_cluster import _RoundCollector, _stack_batches
-    collector = _RoundCollector(sampler, len(sampler)) if scan_batches \
-        else None
+    collector = _RoundCollector(sampler, len(sampler), ids_only=True) \
+        if scan_batches else None
+    tables = sampler.tables() if scan_batches else None
 
     def run_epoch_scanned():
         """One dispatch per epoch: collect the epoch's batches at a
@@ -143,7 +145,7 @@ def train_cluster_gcn(
             stacked, e_real, nb = run_epoch_scanned()
             key, dk = jax.random.split(key)
             params, opt_state, step_losses = train_epoch_scanned(
-                params, opt_state, stacked, dk)
+                params, opt_state, stacked, dk, tables)
             epoch_loss = float(jnp.sum(step_losses))
             total_edges += e_real
         else:

@@ -51,6 +51,8 @@ def _stack_batches(batches):
         return jnp.stack(xs)
 
     g = jax.tree.map(stack, *graphs)
+    if batches[0].node_ids is not None:
+        return (g, stack(*[b.node_ids for b in batches]))
     feats = stack(*[b.features for b in batches])
     labels = stack(*[b.labels for b in batches])
     masks = stack(*[b.train_mask for b in batches])
@@ -59,11 +61,15 @@ def _stack_batches(batches):
 
 class _RoundCollector:
     """Pulls batches off the sampler epoch-by-epoch, re-padding each
-    round to its max bucket so the stacked scan has uniform shapes."""
+    round to its max bucket so the stacked scan has uniform shapes.
+    ``ids_only=True`` (pair with ``sampler.tables()`` at the consuming
+    scan) ships node ids instead of per-batch feature tensors."""
 
-    def __init__(self, sampler: ClusterSampler, spr: int):
+    def __init__(self, sampler: ClusterSampler, spr: int,
+                 ids_only: bool = False):
         self.sampler = sampler
         self.spr = spr
+        self.ids_only = ids_only
         self._gen = sampler.iter_node_ids()
 
     def collect(self):
@@ -76,7 +82,7 @@ class _RoundCollector:
         edge_pad = max(bucket_size(max(len(s), 1)) for s, _ in edges)
         return [self.sampler.make_batch(ids, node_pad=node_pad,
                                         edge_pad=edge_pad, edges=e,
-                                        numpy=True)
+                                        numpy=True, ids_only=self.ids_only)
                 for ids, e in zip(id_sets, edges)]
 
 
@@ -160,7 +166,9 @@ def train_ist_cluster(
     # lsgd: one flat collection of K*iter_per_site batches per round (a
     # common padding bucket), split into one stream per worker
     collector = _RoundCollector(
-        sampler, tc.iter_per_site * K if lsgd else tc.iter_per_site)
+        sampler, tc.iter_per_site * K if lsgd else tc.iter_per_site,
+        ids_only=True)
+    tables = sampler.tables()
 
     part_key = jax.random.PRNGKey(tc.seed + 1)
     drop_key = jax.random.PRNGKey(tc.dropout_seed)
@@ -223,7 +231,7 @@ def train_ist_cluster(
         drop_key, dk = jax.random.split(drop_key)
         t0 = time.time()
         full_params, rl = round_fn(full_params, bnds, stacked,
-                                   jnp.asarray(lr), dk)
+                                   jnp.asarray(lr), dk, tables)
         jax.block_until_ready(full_params)
         total_time += time.time() - t0
         total_edges += sum(b.n_real_edges for b in batches) * K

@@ -92,7 +92,9 @@ def train_ist_ultrawide(
 
     local_epochs = max(tc.n_epochs // K, 1)
     n_rounds = max(local_epochs * len(sampler) // tc.iter_per_site, 1)
-    collector = _RoundCollector(sampler, tc.iter_per_site)
+    collector = _RoundCollector(sampler, tc.iter_per_site,
+                                ids_only=True)
+    tables = sampler.tables()
     host_rng = np.random.default_rng(tc.seed + 1)
     drop_key = jax.random.PRNGKey(tc.dropout_seed)
 
@@ -138,7 +140,7 @@ def train_ist_ultrawide(
         # instead of their sum — SURVEY §7.3's named improvement over
         # ultra_wide.py:143-204's serial staging)
         shards, rl = burst_fn(shards, stacked_batches,
-                              jnp.asarray(tc.lr), dk)
+                              jnp.asarray(tc.lr), dk, tables)
         if rnd + 1 < n_rounds:
             stacked_batches = _stack_batches(collector.collect())
         trained = jax.tree.map(np.asarray, shards)   # one D2H per round

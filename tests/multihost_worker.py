@@ -65,7 +65,7 @@ def main():
                          (spr, ds.n_nodes)),
     )
     new_params, losses = round_fn(full, bnds, batches, jnp.asarray(1e-2),
-                                  jax.random.PRNGKey(2))
+                                  jax.random.PRNGKey(2), None)
     # new_params is replicated (P()) -> fully addressable everywhere;
     # losses are subnet-sharded -> only touch the local shards
     jax.block_until_ready(new_params)

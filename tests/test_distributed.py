@@ -66,7 +66,8 @@ def test_distributed_round_matches_single_device_semantics():
         jnp.broadcast_to(mask, (spr,) + mask.shape),
     )
     key = jax.random.PRNGKey(7)
-    got, losses = round_fn(full, bnds, batches, jnp.asarray(1e-2), key)
+    got, losses = round_fn(full, bnds, batches, jnp.asarray(1e-2), key,
+                           None)
     assert losses.shape[-1] == spr
 
     # hand-computed reference on one device

@@ -105,7 +105,7 @@ def test_two_process_ist_round(tmp_path):
     )
     ref_params, ref_losses = round_fn(full, bnds, batches,
                                       jnp.asarray(1e-2),
-                                      jax.random.PRNGKey(2))
+                                      jax.random.PRNGKey(2), None)
     ref_flat, _ = jax.tree.flatten(ref_params)
     assert len(ref_flat) == len(param_keys)
     for k, ref in zip(param_keys, ref_flat):
