@@ -119,6 +119,73 @@ def apply(
     return h.astype(jnp.float32)
 
 
+def apply_chunked_host(
+    params: dict,
+    senders,
+    receivers,
+    x,
+    cfg: SAGEConfig,
+    *,
+    edge_chunk: int = 500_000,
+    node_chunk: int = 131_072,
+    store_dtype=None,
+) -> "np.ndarray":
+    """Memory-bounded full-graph eval forward on the HOST (numpy BLAS).
+
+    The ultra-wide regime evaluates a full-width model on the full
+    graph; at h2048 x 2.45M nodes the plain ``apply`` materializes a
+    40 GB ``[h || Ah]`` concat (more with XLA temporaries) and exceeds
+    both HBM and comfortable host RAM.  This walks the same math
+    (aggregate -> concat -> linear -> affine-free LN -> relu,
+    modules.py:218-237) with bounded intermediates: edge-chunked
+    segment aggregation (receiver-sorted reduceat) and node-chunked
+    linears, fp16 intermediate storage / fp32 compute.  Eval only —
+    no dropout, no use_pp skip (eval never skips, modules.py:133)."""
+    import numpy as np
+
+    store_dtype = store_dtype or np.float16
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+    order = np.argsort(receivers, kind="stable")
+    ss, rr = senders[order], receivers[order]
+    n = x.shape[0]
+    deg = np.bincount(rr, minlength=n)[:n].astype(np.float32)
+    inv_deg = np.where(deg > 0, 1.0 / np.maximum(deg, 1.0),
+                       0.0).astype(np.float32)[:, None]
+
+    h = np.asarray(x, np.float32).astype(store_dtype)
+    layers = params["layers"]
+    for li, layer in enumerate(layers):
+        w = np.asarray(layer["w"], np.float32)
+        b = np.asarray(layer["b"], np.float32)
+        f = h.shape[1]
+        ah = np.zeros((n, f), np.float32)
+        for a in range(0, len(ss), edge_chunk):
+            e = min(a + edge_chunk, len(ss))
+            rows = h[ss[a:e]].astype(np.float32)
+            rseg = rr[a:e]
+            starts = np.nonzero(np.diff(rseg, prepend=-1))[0]
+            ah[rseg[starts]] += np.add.reduceat(rows, starts, axis=0)
+        ah *= inv_deg
+        is_last = li == len(layers) - 1
+        out = np.empty((n, w.shape[1]),
+                       np.float32 if is_last else store_dtype)
+        for i in range(0, n, node_chunk):
+            j = min(i + node_chunk, n)
+            hcat = np.concatenate(
+                [h[i:j].astype(np.float32), ah[i:j]], axis=1)
+            o = hcat @ w + b
+            if cfg.use_layernorm and not is_last:
+                o -= o.mean(axis=1, keepdims=True)
+                o /= np.sqrt(o.var(axis=1, keepdims=True) + 1e-5)
+            if not is_last:
+                np.maximum(o, 0.0, out=o)
+            out[i:j] = o
+        del ah
+        h = out
+    return h
+
+
 # ---------------------------------------------------------------------------
 # Plain GraphSAGE (affine LN) — modules.py:100-189
 # ---------------------------------------------------------------------------

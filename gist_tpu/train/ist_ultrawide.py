@@ -71,16 +71,27 @@ def train_ist_ultrawide(
                    else jax.devices()[0])
     eval_graph = None
 
+    # full-graph eval at ultra-wide widths: activations (N x 2h fp32
+    # concat) can exceed both HBM and comfortable host RAM — use the
+    # chunked host forward beyond ~2^28 activation elements
+    chunked_eval = (kind == "sage" and eval_on_cpu
+                    and ds.n_nodes * model_cfg.n_hidden > 2 ** 28)
+
     def evaluate(params_np):
         nonlocal eval_graph
-        with jax.default_device(eval_device):
-            if eval_graph is None:
-                eval_graph = graph_from_edges(ds.senders, ds.receivers,
-                                              ds.n_nodes)
-            p = jax.tree.map(jnp.asarray, params_np)
-            logits = model.apply(p, eval_graph, jnp.asarray(ds.features),
-                                 model_cfg)
-            l = np.asarray(logits)
+        if chunked_eval:
+            l = sage.apply_chunked_host(params_np, ds.senders,
+                                        ds.receivers, ds.features,
+                                        model_cfg)
+        else:
+            with jax.default_device(eval_device):
+                if eval_graph is None:
+                    eval_graph = graph_from_edges(ds.senders, ds.receivers,
+                                                  ds.n_nodes)
+                p = jax.tree.map(jnp.asarray, params_np)
+                logits = model.apply(p, eval_graph,
+                                     jnp.asarray(ds.features), model_cfg)
+                l = np.asarray(logits)
         if use_f1:
             return (micro_f1(l, ds.labels, ds.val_mask),
                     micro_f1(l, ds.labels, ds.test_mask))

@@ -94,3 +94,29 @@ def test_ultrawide_checkpoint_resume(tmp_path):
     r2 = train_ist_ultrawide(ds2, cfg, tc, psize=4, batch_size=2,
                              checkpoint_dir=ck, verbose=False)
     assert np.isfinite(r2["best_val"])
+
+
+def test_apply_chunked_host_matches_apply():
+    """The memory-bounded host eval forward (edge-chunked aggregation +
+    node-chunked linears, fp16 storage) must match the jax apply
+    (eval mode) to fp16-storage tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gist_tpu.data import synthetic_dataset
+    from gist_tpu.graph import graph_from_edges
+    from gist_tpu.models import sage
+
+    ds = synthetic_dataset("synth-tiny")
+    cfg = sage.SAGEConfig(ds.in_feats, 48, ds.n_classes, n_layers=3)
+    params = sage.init(jax.random.PRNGKey(0), cfg)
+    g = graph_from_edges(ds.senders, ds.receivers, ds.n_nodes)
+    want = np.asarray(sage.apply(params, g, jnp.asarray(ds.features), cfg))
+    params_np = jax.tree.map(np.asarray, params)
+    got = sage.apply_chunked_host(params_np, ds.senders, ds.receivers,
+                                  ds.features, cfg,
+                                  edge_chunk=37, node_chunk=50)
+    # fp16 intermediate storage: compare argmax + loose values
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+    assert (got.argmax(-1) == want.argmax(-1)).mean() > 0.98
