@@ -1,6 +1,6 @@
 """Full-scale Amazon2M ultra-wide GIST — the reference's headline
 config shape (script/amazon/run_ist_sweep_amazon_ultrawide.py:16-21:
-h2048, 4 layers, K=8, psize 15000, batch 10) at true scale (2.45M
+hiddens {512,1024,2048}, 4 layers, K=8, psize 15000, batch 10) at true scale (2.45M
 nodes / 125M edges), reduced rounds.
 
 K=8 subnets need 8 devices; with one real chip this runs on the
@@ -24,7 +24,9 @@ from gist_tpu.train.ist_ultrawide import train_ist_ultrawide
 
 ds = synthetic_dataset("synth-amazon2m")
 ds.normalize_features()
-cfg = sage.SAGEConfig(ds.in_feats, 2048, ds.n_classes, n_layers=4,
+H = int(os.environ.get("UW_HIDDEN", "1024"))  # reference ultrawide
+                                              # grid: {512,1024,2048}
+cfg = sage.SAGEConfig(ds.in_feats, H, ds.n_classes, n_layers=4,
                       dropout=0.2)
 tc = TrainConfig(lr=1e-2, weight_decay=0.0, n_epochs=16,
                  num_subnet=8, iter_per_site=750)
@@ -33,7 +35,7 @@ res = train_ist_ultrawide(ds, cfg, tc, psize=15000, batch_size=10,
                           use_f1=True, cache_dir="data",
                           eval_every_rounds=4, verbose=True)
 res["wall_time"] = time.time() - t0
-res["config"] = {"n_hidden": 2048, "n_layers": 4, "num_subnet": 8,
+res["config"] = {"n_hidden": H, "n_layers": 4, "num_subnet": 8,
                  "psize": 15000, "batch_size": 10, "iter_per_site": 750,
                  "n_epochs": 16, "mesh": "8-device CPU"}
 with open("results/r2_amazon_uw_fullscale.json", "w") as f:
