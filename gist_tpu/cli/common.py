@@ -24,9 +24,26 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="aggregation kernel; auto = pallas on TPU "
                         "hardware when the graph carries tiles, else "
                         "the XLA segment path")
+    p.add_argument("--cpu-mesh", type=int, default=0,
+                   help="run on a virtual N-device CPU mesh (the "
+                        "reference's N-processes-one-GPU analog): "
+                        "multi-subnet configs need num_subnet devices, "
+                        "which one real chip can't provide.  Must be "
+                        "the FIRST thing applied — call apply_backend "
+                        "before any jax device query.")
 
 
 def apply_backend(args) -> None:
+    if getattr(args, "cpu_mesh", 0):
+        import os
+
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu_mesh}"
+        ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from gist_tpu.ops.spmm import set_default_backend
     set_default_backend(args.spmm_backend)
 
