@@ -22,12 +22,51 @@ arguments — closed-over tile layouts would be embedded as HLO literals
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 
+def _probe_backend(retries: int = 4, base_sleep: float = 20.0,
+                   timeout: float = 240.0):
+    """Subprocess probe of the accelerator backend with bounded
+    retries/backoff.  Round 2's official bench failed on a transient
+    TPU-tunnel outage (`jax.devices()` hung for ~25 min then recovered,
+    VERDICT.md header); probing in a child process survives both the
+    hang (timeout) and the hard init error without poisoning this
+    process's latched jax backend.  Returns (ok, platform_or_error)."""
+    code = "import jax; print(jax.default_backend())"
+    err = "unknown"
+    for i in range(retries):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                text=True, timeout=timeout,
+                env=dict(os.environ))
+            if out.returncode == 0 and out.stdout.strip():
+                return True, out.stdout.strip().splitlines()[-1]
+            err = (out.stderr or "").strip()[-300:] or f"rc={out.returncode}"
+        except subprocess.TimeoutExpired:
+            err = f"backend probe hung >{timeout:.0f}s"
+        if i < retries - 1:
+            time.sleep(base_sleep * (2 ** i))
+    return False, err
+
+
 def main():
+    ok, info = _probe_backend()
+    if not ok:
+        # structured failure artifact: the driver still gets parseable
+        # JSON (an "error" key) instead of a bare traceback
+        print(json.dumps({
+            "metric": "edges/sec/chip (SpMM agg, unavailable)",
+            "value": 0.0, "unit": "edges/s", "vs_baseline": 0.0,
+            "error": f"accelerator backend unreachable: {info}",
+        }))
+        sys.exit(1)
+
     import jax
     import jax.numpy as jnp
     import optax
@@ -152,9 +191,25 @@ def main():
         "value": round(edges_per_sec, 1),
         "unit": "edges/s",
         "vs_baseline": round(edges_per_sec / sol, 4),
+        # fp32_ms/n_edges let consumers (dryrun's scaling projection)
+        # derive the single-chip aggregation time from this artifact
+        # instead of a hardcoded constant
+        "fp32_ms": round(dt * 1e3, 3),
+        "n_edges": E,
+        "hardware": jax.devices()[0].device_kind,
         **extras,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except Exception as e:  # terminal failure -> still a parseable line
+        print(json.dumps({
+            "metric": "edges/sec/chip (SpMM agg, failed)",
+            "value": 0.0, "unit": "edges/s", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }))
+        sys.exit(1)

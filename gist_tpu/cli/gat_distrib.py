@@ -22,6 +22,9 @@ def main(argv=None):
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--use-f1", action="store_true")
     p.add_argument("--cache-dir", type=str, default=None)
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="model compute dtype")
     args = p.parse_args(argv)
     apply_backend(args)
     assert args.n_hidden % args.num_subnet == 0, (
@@ -32,7 +35,8 @@ def main(argv=None):
     print(ds.summary())
     cfg = gat.GATConfig(
         in_feats=ds.in_feats, n_hidden=args.n_hidden, n_classes=ds.n_classes,
-        n_layers=max(args.n_layers, 2), n_heads=args.n_heads)
+        n_layers=max(args.n_layers, 2), n_heads=args.n_heads,
+        dtype=args.dtype)
     tc = TrainConfig(lr=args.lr, weight_decay=args.weight_decay,
                      n_epochs=args.n_epochs, seed=args.rnd_seed,
                      num_subnet=args.num_subnet,

@@ -5,6 +5,7 @@ feat/label/train_mask/val_mask/test_mask)."""
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 
@@ -20,6 +21,16 @@ class Dataset:
     val_mask: np.ndarray
     test_mask: np.ndarray
     n_classes: int
+    # multitask datasets (ppi): the full (N, C) multi-hot label matrix.
+    # The reference trains these with sigmoid logits + BCE and evaluates
+    # threshold-at-0 micro-F1 (cluster_gcn/utils.py:47-57, 104-120);
+    # ``labels`` then holds the argmax single-label view for code paths
+    # that need one.
+    labels_multi: Optional[np.ndarray] = None
+
+    @property
+    def multitask(self) -> bool:
+        return self.labels_multi is not None
 
     @property
     def n_nodes(self) -> int:

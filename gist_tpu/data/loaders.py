@@ -85,9 +85,24 @@ def load_planetoid(name: str, root: str) -> Dataset:
     allx, tx = _dense(allx), _dense(tx)
     ally, ty = np.asarray(ally), np.asarray(ty)
 
+    # citeseer has isolated test nodes: test.index is non-contiguous,
+    # so tx/ty must be zero-extended over the full [min, max] test-id
+    # span BEFORE the vstack (otherwise features[test_idx] below indexes
+    # past the end).  Rows are placed at sorted positions; the reorder
+    # after the vstack then moves them to file order — the standard
+    # planetoid citeseer handling the reference inherits through DGL.
+    span = int(test_range[-1]) - int(test_range[0]) + 1
+    if span != len(test_idx):
+        tx_ext = np.zeros((span, tx.shape[1]), tx.dtype)
+        tx_ext[test_range - test_range[0]] = tx
+        ty_ext = np.zeros((span, ty.shape[1]), ty.dtype)
+        ty_ext[test_range - test_range[0]] = ty
+        tx, ty = tx_ext, ty_ext
+
     features = np.vstack([allx, tx]).astype(np.float32)
     labels_oh = np.vstack([ally, ty])
-    # citeseer has isolated test nodes with non-contiguous indices
+    # move test rows from sorted to file order (tx row k is node
+    # test_idx[k])
     features[test_idx] = features[test_range]
     labels_oh[test_idx] = labels_oh[test_range]
     labels = labels_oh.argmax(axis=1).astype(np.int32)
@@ -101,7 +116,6 @@ def load_planetoid(name: str, root: str) -> Dataset:
     senders = np.asarray(senders, np.int64)
     receivers = np.asarray(receivers, np.int64)
 
-    n_train = ally.shape[0] - 500  # planetoid convention: allx tail is val
     train_mask = np.zeros(n, bool)
     val_mask = np.zeros(n, bool)
     test_mask = np.zeros(n, bool)
@@ -186,13 +200,18 @@ def load_ppi(root: str) -> Dataset:
         offset += n
 
     n_total = offset
-    # PPI is multi-label; the reference's evaluate() uses argmax micro-F1
-    # for single-label paths — keep the raw multilabel matrix's argmax
-    # as the single-label view and stash the full matrix in features'
-    # sibling attr when needed later.
+    # PPI is multitask: keep the full (N, 121) multi-hot matrix so
+    # training uses sigmoid BCE + threshold-at-0 micro-F1 like the
+    # reference (utils.py:104-120); ``labels`` is the argmax view.
     labels_mat = np.concatenate(all_l)
-    labels = labels_mat.argmax(axis=1).astype(np.int32) \
-        if labels_mat.ndim == 2 else labels_mat.astype(np.int32)
+    if labels_mat.ndim == 2:
+        labels_multi = labels_mat.astype(np.float32)
+        labels = labels_mat.argmax(axis=1).astype(np.int32)
+        n_classes = labels_mat.shape[1]
+    else:
+        labels_multi = None
+        labels = labels_mat.astype(np.int32)
+        n_classes = int(labels.max()) + 1
     train_mask = np.zeros(n_total, bool)
     val_mask = np.zeros(n_total, bool)
     test_mask = np.zeros(n_total, bool)
@@ -204,7 +223,7 @@ def load_ppi(root: str) -> Dataset:
         receivers=np.concatenate(all_r),
         features=np.concatenate(all_f), labels=labels,
         train_mask=train_mask, val_mask=val_mask, test_mask=test_mask,
-        n_classes=int(labels.max()) + 1)
+        n_classes=n_classes, labels_multi=labels_multi)
 
 
 # ---------------------------------------------------------------------------

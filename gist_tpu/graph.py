@@ -119,6 +119,32 @@ def _round_up_arr(x: np.ndarray, m: int) -> np.ndarray:
     return ((x + m - 1) // m) * m
 
 
+def pad_tiled_csr(t: TiledCSR, e_to: int, max_chunks_to: int,
+                  as_numpy: bool = False) -> TiledCSR:
+    """Pad a v1 TiledCSR layout to a bucketed edge-slot count /
+    max_chunks so cluster batches in one size bucket share a jit cache
+    entry (the gather-layout analog of :func:`pad_dedup_tiles`).
+    Padding slots carry the sentinel receiver (outside every tile's
+    local range) and live past ``tile_offsets[-1]``, so the kernel's
+    clamped chunk indices never read them."""
+    s = np.asarray(t.senders)
+    r = np.asarray(t.receivers)
+    e_to = max(_round_up(e_to, t.chunk), len(s))
+    extra = e_to - len(s)
+    pio = None if t.pos_in_other is None else np.asarray(t.pos_in_other)
+    if extra:
+        sentinel = t.num_tiles * t.tile_rows
+        s = np.concatenate([s, np.zeros(extra, np.int32)])
+        r = np.concatenate([r, np.full(extra, sentinel, np.int32)])
+        if pio is not None:
+            pio = np.concatenate([pio, np.zeros(extra, np.int32)])
+    conv = np.asarray if as_numpy else jnp.asarray
+    return t.replace(
+        senders=conv(s), receivers=conv(r),
+        pos_in_other=None if pio is None else conv(pio),
+        max_chunks=max(t.max_chunks, max_chunks_to))
+
+
 @struct.dataclass
 class DedupTiles:
     """Block-dense dedup layout for the Pallas SpMM kernel v2.

@@ -86,6 +86,21 @@ def masked_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
+def masked_bce_multitask(logits: jnp.ndarray, labels: jnp.ndarray,
+                         mask: jnp.ndarray) -> jnp.ndarray:
+    """Sigmoid BCE over (node, class) cells, meaned over masked cells —
+    ``F.binary_cross_entropy_with_logits(logits[mask], labels[mask])``
+    (the reference's multitask/PPI loss, cluster_gcn/cluster_gcn.py
+    multitask branch) without dynamic boolean indexing."""
+    labels = labels.astype(logits.dtype)
+    # numerically-stable BCE-with-logits
+    bce = (jnp.maximum(logits, 0.0) - logits * labels
+           + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    m = mask.astype(logits.dtype)[:, None]
+    denom = jnp.maximum(jnp.sum(m) * logits.shape[-1], 1.0)
+    return jnp.sum(bce * m) / denom
+
+
 def masked_accuracy(logits: jnp.ndarray, labels: jnp.ndarray,
                     mask: jnp.ndarray) -> jnp.ndarray:
     pred = jnp.argmax(logits, axis=-1)

@@ -12,10 +12,13 @@ comment at gat.py:87-89 mentions concatenation, but the code never
 concatenates; we follow mean-over-heads so hidden widths match the
 reference's layer shapes (hidden_dim, not hidden_dim*num_heads).
 
-The fused attention kernel path (``backend="pallas"``) needs the v1
-edge-order tile layout: build graphs with
-``graph_from_edges(..., tiles=True, tile_mode="gather")``.  The default
-dedup layout serves GCN/SAGE aggregation, not edge attention.
+The fused attention kernel path (``backend="pallas"``) consumes the v1
+edge-order tile layout (``graph.tiled``); the dedup layout serves
+GCN/SAGE aggregation, not edge attention.  Callers don't need to know:
+``apply`` resolves ``backend=None`` through the global spmm setting
+(pallas iff the graph carries the gather layout on real TPU), and the
+GAT trainers/sampler build that layout automatically
+(ClusterSampler(tile_mode="gather")).
 """
 
 from __future__ import annotations
@@ -40,6 +43,10 @@ class GATConfig:
     n_layers: int = 2          # TOTAL layers, matching GAT(num_layers=..) (gat.py:79)
     n_heads: int = 2
     num_subnet: int = 1        # hidden dims divided for IST sub-models
+    # compute dtype inside apply ("float32" or "bfloat16"); logits are
+    # returned fp32.  bf16 halves HBM traffic for the edge-score +
+    # message streams (the SAGE stack has the same knob).
+    dtype: str = "float32"
 
     def layer_shapes(self):
         """[(in, out, heads)] per layer: first in->hidden (H heads),
@@ -119,10 +126,21 @@ def apply(
     backend: Optional[str] = None,
 ) -> jnp.ndarray:
     """GAT forward (gat.py:93-98): ELU after every layer, including the
-    last (the reference applies F.elu unconditionally)."""
+    last (the reference applies F.elu unconditionally).
+
+    ``backend=None`` resolves via the global spmm backend setting: the
+    fused Pallas attention kernel whenever the graph carries the v1
+    gather layout on real TPU hardware, XLA segment ops elsewhere."""
+    from gist_tpu.ops.spmm import resolve_gat_backend
+    backend = resolve_gat_backend(graph, backend)
+    layers = params["layers"]
     h = x
-    for layer in params["layers"]:
+    if cfg.dtype != "float32":
+        dt = jnp.dtype(cfg.dtype)
+        h = h.astype(dt)
+        layers = jax.tree.map(lambda a: a.astype(dt), layers)
+    for layer in layers:
         h = _multi_head_layer(graph, h, layer, negative_slope,
-                              backend=backend or "segment")
+                              backend=backend)
         h = jax.nn.elu(h)
-    return h
+    return h.astype(jnp.float32)

@@ -49,6 +49,19 @@ def resolve_backend(graph: Optional[Graph] = None,
         else "segment"
 
 
+def resolve_gat_backend(graph: Optional[Graph] = None,
+                        backend: Optional[str] = None) -> str:
+    """Backend resolution for the GAT attention path: the fused kernel
+    needs the v1 gather layout (``graph.tiled``), not the dedup layout
+    the SpMM resolver checks first."""
+    backend = backend or _DEFAULT_BACKEND
+    if backend != "auto":
+        return backend
+    has_tiles = graph is not None and graph.tiled is not None
+    return "pallas" if has_tiles and jax.default_backend() == "tpu" \
+        else "segment"
+
+
 def tiles_wanted() -> bool:
     """Should graph builders pay the host-side tile-layout cost?  True
     when the active backend could consume them (pallas, or auto on TPU)."""

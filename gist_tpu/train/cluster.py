@@ -17,7 +17,8 @@ import optax
 from gist_tpu.data.container import Dataset
 from gist_tpu.graph import graph_from_edges
 from gist_tpu.models import sage
-from gist_tpu.models.common import masked_accuracy, masked_cross_entropy, micro_f1
+from gist_tpu.models.common import (masked_accuracy, masked_bce_multitask,
+                                    masked_cross_entropy, micro_f1)
 from gist_tpu.sampler import ClusterBatch, ClusterSampler
 from gist_tpu.train.common import TrainConfig, make_optimizer
 
@@ -44,6 +45,10 @@ def train_cluster_gcn(
     one dispatch per epoch instead of one per batch."""
     if normalize:
         ds.normalize_features()
+    # multitask (ppi): sigmoid BCE on the multi-hot matrix + threshold
+    # micro-F1, like the reference's multitask branch
+    multitask = ds.labels_multi is not None
+    train_loss = masked_bce_multitask if multitask else masked_cross_entropy
     sampler = ClusterSampler(ds, psize, batch_size, use_pp=use_pp,
                              cache_dir=cache_dir, seed=tc.seed)
     full_graph = graph_from_edges(ds.senders, ds.receivers, ds.n_nodes)
@@ -61,8 +66,7 @@ def train_cluster_gcn(
         def loss_fn(p):
             logits = model.apply(p, batch.graph, batch.features, model_cfg,
                                  train=True, dropout_key=key)
-            return masked_cross_entropy(logits, batch.labels,
-                                        batch.train_mask)
+            return train_loss(logits, batch.labels, batch.train_mask)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
@@ -80,7 +84,7 @@ def train_cluster_gcn(
             def loss_fn(p):
                 logits = model.apply(p, graph, feats, model_cfg,
                                      train=True, dropout_key=dk)
-                return masked_cross_entropy(logits, labels, mask)
+                return train_loss(logits, labels, mask)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = opt.update(grads, opt_state, params)
@@ -110,6 +114,12 @@ def train_cluster_gcn(
             logits = model.apply(p, cpu_data["g"], cpu_data["x"], model_cfg)
         else:
             logits = infer_full(params)
+        if multitask:
+            l = np.asarray(logits)
+            return (micro_f1(l, ds.labels_multi, ds.val_mask,
+                             multitask=True),
+                    micro_f1(l, ds.labels_multi, ds.test_mask,
+                             multitask=True))
         if use_f1:
             l = np.asarray(logits)
             return (micro_f1(l, ds.labels, ds.val_mask),

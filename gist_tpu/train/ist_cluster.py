@@ -40,6 +40,8 @@ def _stack_batches(batches):
     numpy-leaf batches stack on the host and transfer once; device-leaf
     batches stack on device (an epoch of per-batch H2D transfers costs
     more than the epoch's compute through a remote tunnel)."""
+    from gist_tpu.sampler import unify_tile_buckets
+    batches = unify_tile_buckets(batches)
     # n_edges is static pytree aux data and varies per batch; normalize
     # to the (shared) padded count so the Graphs stack.
     graphs = [b.graph.replace(n_edges=b.graph.n_edges_padded)
@@ -78,7 +80,7 @@ class _RoundCollector:
         node_pad = max(bucket_size(len(ids)) for ids in id_sets)
         # extract each subgraph once, size the shared edge bucket, then
         # build numpy batches (stacked host-side -> one H2D per round)
-        edges = [self.sampler._csr_subgraph(ids) for ids in id_sets]
+        edges = [self.sampler.csr_subgraph(ids) for ids in id_sets]
         edge_pad = max(bucket_size(max(len(s), 1)) for s, _ in edges)
         return [self.sampler.make_batch(ids, node_pad=node_pad,
                                         edge_pad=edge_pad, edges=e,
@@ -114,8 +116,13 @@ def train_ist_cluster(
     if normalize:
         ds.normalize_features()
     mesh = mesh or make_subnet_mesh(K)
+    # GAT consumes the v1 gather tile layout (fused attention kernel);
+    # SAGE/GCN the block-dense dedup layout — the sampler builds the
+    # right one so `--spmm-backend auto` composes without caller flags
     sampler = ClusterSampler(ds, psize, batch_size, use_pp=use_pp,
-                             cache_dir=cache_dir, seed=tc.seed)
+                             cache_dir=cache_dir, seed=tc.seed,
+                             tile_mode="gather" if kind == "gat"
+                             else "dedup")
     full_graph = graph_from_edges(ds.senders, ds.receivers, ds.n_nodes)
     fx = jnp.asarray(ds.features)
     flabels = jnp.asarray(ds.labels)
@@ -217,7 +224,11 @@ def train_ist_cluster(
         pending = pool.submit(collector.collect) \
             if rnd + 1 < n_rounds else None
         if lsgd:
-            # each worker consumes its own slice of the cluster stream
+            # each worker consumes its own slice of the cluster stream;
+            # unify tile buckets globally BEFORE slicing (per-slice
+            # unification would still mismatch at the outer stack)
+            from gist_tpu.sampler import unify_tile_buckets
+            batches = unify_tile_buckets(batches)
             spr = tc.iter_per_site
             all_stacks = [_stack_batches(batches[i * spr:(i + 1) * spr])
                           for i in range(K)]

@@ -20,10 +20,14 @@ from gist_tpu.data import load_dataset
 # ---------------------------------------------------------------------------
 
 def _write_planetoid(root, name="cora", n_train=20, n_val=500, n_test=30,
-                     f=8, c=3, seed=0):
+                     f=8, c=3, seed=0, gaps=0):
+    """``gaps > 0`` fabricates the citeseer quirk: test ids span
+    ``n_test + gaps`` positions with ``gaps`` isolated holes, so the
+    loader must zero-extend tx/ty before the vstack."""
     rng = np.random.default_rng(seed)
     n_allx = n_train + n_val
-    n = n_allx + n_test
+    span = n_test + gaps
+    n = n_allx + span
 
     def feats(k):
         return sp.csr_matrix(rng.random((k, f)).astype(np.float32))
@@ -39,7 +43,13 @@ def _write_planetoid(root, name="cora", n_train=20, n_val=500, n_test=30,
     graph = {}
     for u in range(n):
         graph[u] = list(rng.integers(0, n, 3))
-    test_idx = rng.permutation(np.arange(n_allx, n))
+    if gaps:
+        # first and last span positions present (span is exact)
+        mid = rng.choice(np.arange(1, span - 1), n_test - 2, replace=False)
+        positions = np.concatenate([[0], np.sort(mid), [span - 1]])
+        test_idx = rng.permutation(n_allx + positions)
+    else:
+        test_idx = rng.permutation(np.arange(n_allx, n))
 
     objs = {"x": x, "y": y, "tx": tx, "ty": ty, "allx": allx, "ally": ally,
             "graph": graph}
@@ -81,6 +91,28 @@ def test_load_planetoid_shuffled_test_index_reorders_rows(tmp_path):
     # performs that placement
     np.testing.assert_allclose(ds.features[test_idx], np.asarray(tx),
                                rtol=1e-6)
+
+
+def test_load_planetoid_gapped_test_index_citeseer_quirk(tmp_path):
+    """citeseer has isolated test nodes: test.index is non-contiguous,
+    and tx/ty must be zero-extended over [min, max] before the vstack
+    (the loader previously indexed out of bounds here)."""
+    n, f, c, n_train, n_val, n_test, test_idx = _write_planetoid(
+        str(tmp_path), name="citeseer", seed=7, gaps=9)
+    ds = load_dataset("citeseer", root=str(tmp_path))
+    assert ds.features.shape == (n, f)
+    assert ds.test_mask.sum() == n_test
+    with open(tmp_path / "ind.citeseer.tx", "rb") as fh:
+        tx = np.asarray(pickle.load(fh).todense())
+    # tx row k belongs to node test_idx[k] (file order)
+    np.testing.assert_allclose(ds.features[test_idx], tx, rtol=1e-6)
+    # isolated (gap) nodes: zero features, no mask membership
+    gap_ids = np.setdiff1d(
+        np.arange(n_train + n_val, n), np.sort(test_idx))
+    assert len(gap_ids) == 9
+    np.testing.assert_array_equal(ds.features[gap_ids], 0.0)
+    assert not ds.test_mask[gap_ids].any()
+    assert not ds.train_mask[gap_ids].any()
 
 
 # ---------------------------------------------------------------------------
@@ -138,6 +170,11 @@ def test_load_ppi_fixture(tmp_path):
     ds = load_dataset("ppi", root=str(tmp_path))
     n = n_tr + n_va + n_te
     assert ds.features.shape == (n, f)
+    # ppi is multitask: full multi-hot matrix kept, n_classes = C
+    assert ds.labels_multi is not None
+    assert ds.labels_multi.shape == (n, c)
+    assert ds.n_classes == c
+    assert ds.multitask
     assert ds.train_mask.sum() == n_tr
     assert ds.val_mask.sum() == n_va
     assert ds.test_mask.sum() == n_te

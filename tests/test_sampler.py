@@ -125,3 +125,152 @@ def test_cluster_gcn_scan_batches_matches_loop():
     # order matches given identical seeds)
     assert r2["best_val"] > 0.3
     np.testing.assert_allclose(r1["losses"], r2["losses"], rtol=1e-4)
+
+
+def test_unify_tile_buckets_stacks_mismatched_job_buckets():
+    """Regression (ADVICE r2): two batches of one scanned round whose
+    dedup job counts land in different geometric buckets must re-pad to
+    a common bucket before jax.tree.map(stack)."""
+    import numpy as np
+
+    from gist_tpu.data.container import Dataset
+    from gist_tpu.sampler import unify_tile_buckets
+    from gist_tpu.train.ist_cluster import _stack_batches
+
+    n = 1600
+    base_s = np.arange(n, dtype=np.int64)
+    base_r = (base_s + 1) % n
+    ds = Dataset(name="t", senders=base_s, receivers=base_r,
+                 features=np.random.default_rng(0).random(
+                     (n, 4)).astype(np.float32),
+                 labels=np.zeros(n, np.int32),
+                 train_mask=np.ones(n, bool), val_mask=np.zeros(n, bool),
+                 test_mask=np.zeros(n, bool), n_classes=2)
+    s = ClusterSampler(ds, psize=4, batch_size=4, tiles=True)
+    ids = np.arange(n, dtype=np.int64)
+    # batch A: receivers confined to 2 dst tiles -> 2 jobs (bucket 8)
+    r_a = np.repeat(np.arange(200, dtype=np.int64), 4)
+    s_a = (r_a + 1) % 200
+    # batch B: receivers over all 13 tiles -> 13 jobs (bucket 14)
+    r_b = np.arange(n, dtype=np.int64)
+    s_b = (r_b + 1) % n
+    e_pad = 2048
+    ba = s.make_batch(ids, node_pad=n, edge_pad=e_pad, edges=(s_a, r_a),
+                      numpy=True, ids_only=True)
+    bb = s.make_batch(ids, node_pad=n, edge_pad=e_pad, edges=(s_b, r_b),
+                      numpy=True, ids_only=True)
+    assert ba.graph.dedup is not None and bb.graph.dedup is not None
+    assert (ba.graph.dedup.w_blocks.shape[0]
+            != bb.graph.dedup.w_blocks.shape[0])  # the crash condition
+    # _stack_batches unifies internally and must not raise
+    stacked = _stack_batches([ba, bb])
+    g = stacked[0]
+    assert g.dedup.w_blocks.shape[0] == 2  # scan axis
+    u = unify_tile_buckets([ba, bb])
+    assert (u[0].graph.dedup.w_blocks.shape
+            == u[1].graph.dedup.w_blocks.shape)
+    assert u[0].graph.dedup.max_jobs == u[1].graph.dedup.max_jobs
+
+
+def test_unify_tile_buckets_strips_mixed_none():
+    """A round mixing tiled and tile-less batches (edge-count threshold)
+    must fall back to tile-less uniformly."""
+    import numpy as np
+
+    ds = synthetic_dataset("synth-tiny")
+    s = ClusterSampler(ds, psize=4, batch_size=2, tiles=True)
+    ids = np.arange(s.n_nodes, dtype=np.int64)
+    from gist_tpu.sampler import unify_tile_buckets
+    b1 = s.make_batch(ids, numpy=True, ids_only=True)
+    s.tiles = False
+    b2 = s.make_batch(ids, numpy=True, ids_only=True)
+    assert b1.graph.dedup is not None and b2.graph.dedup is None
+    u = unify_tile_buckets([b1, b2])
+    assert all(b.graph.dedup is None for b in u)
+
+
+def test_multitask_cluster_training_smoke():
+    """PPI-style multitask: 2-D float labels flow through the sampler,
+    BCE loss, and threshold micro-F1 (ADVICE r2 low #3)."""
+    import numpy as np
+
+    from gist_tpu.models import sage
+    from gist_tpu.train.cluster import train_cluster_gcn
+    from gist_tpu.train.common import TrainConfig
+
+    ds = synthetic_dataset("synth-tiny")
+    rng = np.random.default_rng(1)
+    c = 5
+    # learnable multitask labels: threshold a random projection
+    w = rng.standard_normal((ds.in_feats, c)).astype(np.float32)
+    ds.labels_multi = (ds.features @ w > 0).astype(np.float32)
+    ds.labels = ds.labels_multi.argmax(axis=1).astype(np.int32)
+    ds.n_classes = c
+    cfg = sage.SAGEConfig(ds.in_feats, 16, c, n_layers=1, dropout=0.0)
+    tc = TrainConfig(lr=3e-2, weight_decay=0.0, n_epochs=6)
+    res = train_cluster_gcn(ds, cfg, tc, psize=4, batch_size=2,
+                            use_f1=True, verbose=False)
+    assert res["best_val"] > 0.5, res  # micro-F1, learnable labels
+    res2 = train_cluster_gcn(ds, cfg, tc, psize=4, batch_size=2,
+                             use_f1=True, scan_batches=True, verbose=False)
+    assert res2["best_val"] > 0.5, res2
+
+
+def test_sampler_gather_tile_mode_for_gat():
+    """tile_mode='gather' builds the linked v1 TiledCSR pair (the fused
+    GAT kernel's layout) with bucketed padding; rounds stack."""
+    import numpy as np
+
+    from gist_tpu.train.ist_cluster import _stack_batches
+
+    ds = synthetic_dataset("synth-tiny")
+    s = ClusterSampler(ds, psize=4, batch_size=2, tiles=True,
+                       tile_mode="gather")
+    gen = s.iter_node_ids()
+    ids1, ids2 = next(gen), next(gen)
+    b1 = s.make_batch(ids1, node_pad=256, numpy=True, ids_only=True)
+    b2 = s.make_batch(ids2, node_pad=256, numpy=True, ids_only=True)
+    for b in (b1, b2):
+        assert b.graph.tiled is not None and b.graph.tiled_t is not None
+        assert b.graph.tiled.pos_in_other is not None
+        assert b.graph.dedup is None
+        assert b.graph.tiled.senders.shape[0] % 1024 == 0
+    # force an edge-slot bucket mismatch, then unify + stack
+    from gist_tpu.graph import pad_tiled_csr
+    b2 = b2.replace(graph=b2.graph.replace(
+        tiled=pad_tiled_csr(b2.graph.tiled,
+                            b2.graph.tiled.senders.shape[0] + 1024, 2,
+                            as_numpy=True)))
+    stacked = _stack_batches([b1, b2])
+    assert stacked[0].tiled.senders.shape[0] == 2
+
+
+def test_gat_apply_auto_backend_resolves_on_cpu():
+    """backend=None resolves to segment off-TPU even when the graph
+    carries gather tiles (auto must not hand CPU the Mosaic kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gist_tpu.graph import graph_from_edges
+    from gist_tpu.models import gat
+    from gist_tpu.ops.spmm import resolve_gat_backend
+
+    ds = synthetic_dataset("synth-tiny")
+    g = graph_from_edges(ds.senders, ds.receivers, ds.n_nodes, tiles=True,
+                         tile_mode="gather")
+    assert g.tiled is not None
+    assert resolve_gat_backend(g) == "segment"  # cpu test session
+    cfg = gat.GATConfig(ds.in_feats, 8, ds.n_classes, n_layers=2,
+                        n_heads=2)
+    params = gat.init(jax.random.PRNGKey(0), cfg)
+    out = gat.apply(params, g, jnp.asarray(ds.features), cfg)
+    assert out.shape == (ds.n_nodes, ds.n_classes)
+
+    # bf16 path returns fp32 logits close to the fp32 path
+    cfg16 = gat.GATConfig(ds.in_feats, 8, ds.n_classes, n_layers=2,
+                          n_heads=2, dtype="bfloat16")
+    out16 = gat.apply(params, g, jnp.asarray(ds.features), cfg16)
+    assert out16.dtype == jnp.float32
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out),
+                               rtol=0.1, atol=0.15)
