@@ -56,7 +56,11 @@ def _probe_backend(retries: int = 4, base_sleep: float = 20.0,
 
 
 def main():
-    ok, info = _probe_backend()
+    fast = os.environ.get("GIST_BENCH_FAST", "") == "1"
+    # fast mode (CPU tests) runs in-process on an already-initialized
+    # backend; the subprocess probe would query the real accelerator
+    # and pay the full retry ladder for nothing
+    ok, info = (True, "fast") if fast else _probe_backend()
     if not ok:
         # structured failure artifact: the driver still gets parseable
         # JSON (an "error" key) instead of a bare traceback
@@ -77,7 +81,6 @@ def main():
     from gist_tpu.models.common import masked_cross_entropy
     from gist_tpu.ops.spmm import set_default_backend, spmm_segment
 
-    fast = os.environ.get("GIST_BENCH_FAST", "") == "1"
     ds = synthetic_dataset("synth-reddit-small")
     g = graph_from_edges(ds.senders, ds.receivers, ds.n_nodes,
                          tiles=not fast)

@@ -66,7 +66,9 @@ class SweepRunner:
                 if key in self._done:
                     continue
                 t0 = time.time()
-                rec = {"key": key, "config": config, "trial": trial}
+                from gist_tpu.utils import hardware_tag
+                rec = {"key": key, "config": config, "trial": trial,
+                       "hardware": hardware_tag()}
                 try:
                     result = self.fn(**config, trial=trial)
                     rec.update(status="ok", result=result)
@@ -86,11 +88,15 @@ class SweepRunner:
 
 
 def summarize(jsonl_path: str, metric: str = "best_test") -> List[dict]:
-    """Aggregate mean/max of a metric over trials per config — the
-    CSV-aggregation step of the reference sweeps, JSON-native."""
+    """Aggregate mean±std of a metric over trials per config — the
+    CSV-aggregation step of the reference sweeps (5 seeds per cell,
+    script/baseline_sweep.py:13,25), JSON-native.  Hardware tags are
+    collected per cell so mixed-hardware cells are visible."""
     import collections
+    import math
 
     by_config = collections.defaultdict(list)
+    hw_by_config = collections.defaultdict(set)
     with open(jsonl_path) as f:
         for line in f:
             rec = json.loads(line)
@@ -103,11 +109,16 @@ def summarize(jsonl_path: str, metric: str = "best_test") -> List[dict]:
                                     rec["result"].get(metric + "_acc"))
             if val is not None:
                 by_config[ckey].append(val)
+                hw_by_config[ckey].add(rec.get("hardware", "unknown"))
     out = []
     for ckey, vals in by_config.items():
+        mean = sum(vals) / len(vals)
+        var = sum((v - mean) ** 2 for v in vals) / len(vals)
         out.append({"config": json.loads(ckey),
                     "n": len(vals),
-                    "mean": sum(vals) / len(vals),
-                    "max": max(vals)})
+                    "mean": mean,
+                    "std": math.sqrt(var),
+                    "max": max(vals),
+                    "hardware": sorted(hw_by_config[ckey])})
     out.sort(key=lambda r: -r["mean"])
     return out

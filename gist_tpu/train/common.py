@@ -51,6 +51,9 @@ def write_results(results: dict, path: Optional[str]) -> None:
     stdout-lines protocol (script/reddit/run_ist_sweep_reddit.py:79-96)."""
     if path is None:
         return
+    if "hardware" not in results:
+        from gist_tpu.utils import hardware_tag
+        results = {**results, "hardware": hardware_tag()}
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "w") as f:
         json.dump(results, f, indent=2, default=float)

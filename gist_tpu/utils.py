@@ -100,3 +100,18 @@ class JsonlLogger:
             return
         with open(self.path, "a") as f:
             f.write(json.dumps(kv, default=float) + "\n")
+
+
+def hardware_tag() -> str:
+    """Self-describing hardware stamp for result records, e.g.
+    ``tpu-v5-lite-1`` or ``cpu-mesh-8`` — mixed-hardware result files
+    misled readers in round 2 (VERDICT weak #3: a K=1 row timed on the
+    real chip sat next to CPU-mesh K rows with nothing marking them)."""
+    import jax
+
+    d = jax.devices()[0]
+    n = jax.device_count()
+    if d.platform == "cpu":
+        return f"cpu-mesh-{n}"
+    kind = getattr(d, "device_kind", d.platform)
+    return f"{kind.strip().lower().replace(' ', '-')}-{n}"
