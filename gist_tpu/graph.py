@@ -209,10 +209,20 @@ class ChunkedDedupTiles:
     job_offsets: jnp.ndarray  # (n_chunks, tiles_per_chunk + 1) int32 rebased
     pos: Optional[jnp.ndarray]  # (N,) int32 node -> output row, or None
     perm: Optional[jnp.ndarray]  # (N,) int32 row -> node (see DedupTiles)
-    tile_rows: int = struct.field(pytree_node=False)
-    cu: int = struct.field(pytree_node=False)
-    max_jobs: int = struct.field(pytree_node=False)   # per tile
-    num_tiles: int = struct.field(pytree_node=False)  # true tiles total
+    # --- split layout (round 3): dense (tile, source-block) pairs are
+    # "direct" jobs whose CU-row source block streams straight from the
+    # resident permuted feature table (NO gather op — the round-2 wall
+    # was the ~85M rows/s XLA gather rate, PERF.md); sparse pairs stay
+    # gathered unique slots.  When these fields are set, ``u_senders``
+    # holds ONLY the remote slots ((n_chunks, rem_pad * CU)) and the
+    # kernel selects per job via ``is_dir``.
+    dir_blk: Optional[jnp.ndarray] = None  # (n_chunks, jobs_pad) int32
+    rem_blk: Optional[jnp.ndarray] = None  # (n_chunks, jobs_pad) int32
+    is_dir: Optional[jnp.ndarray] = None   # (n_chunks, jobs_pad) int32
+    tile_rows: int = struct.field(pytree_node=False, default=64)
+    cu: int = struct.field(pytree_node=False, default=1024)
+    max_jobs: int = struct.field(pytree_node=False, default=0)  # per tile
+    num_tiles: int = struct.field(pytree_node=False, default=0)
 
     @property
     def n_chunks(self) -> int:
@@ -227,12 +237,14 @@ class ChunkedDedupTiles:
         caching / CPU-side consumers don't pay a device round trip),
         but a long-lived Graph must hold device arrays — numpy leaves
         re-transfer GiB-scale W on every jitted call."""
+        conv = lambda a: None if a is None else jnp.asarray(a)  # noqa: E731
         return self.replace(
             u_senders=jnp.asarray(self.u_senders),
             w_blocks=jnp.asarray(self.w_blocks),
             job_offsets=jnp.asarray(self.job_offsets),
-            pos=None if self.pos is None else jnp.asarray(self.pos),
-            perm=None if self.perm is None else jnp.asarray(self.perm))
+            pos=conv(self.pos), perm=conv(self.perm),
+            dir_blk=conv(self.dir_blk), rem_blk=conv(self.rem_blk),
+            is_dir=conv(self.is_dir))
 
 
 def pad_dedup_tiles(d: DedupTiles, jobs_to: int, max_jobs_to: int,
@@ -404,6 +416,201 @@ def _build_dedup_chunked(senders: np.ndarray, receivers: np.ndarray,
         perm=None if perm is None else perm.astype(np.int32),
         tile_rows=tile_rows, cu=cu,
         max_jobs=int(jobs_per_tile.max()), num_tiles=num_tiles)
+
+
+def _ffill(values: np.ndarray, has_value: np.ndarray,
+           fill0: int = 0) -> np.ndarray:
+    """Carry each marked value forward over unmarked positions (leading
+    unmarked positions get ``fill0``)."""
+    idx = np.where(has_value, np.arange(len(values)), -1)
+    np.maximum.accumulate(idx, out=idx)
+    out = np.where(idx >= 0, values[np.maximum(idx, 0)], fill0)
+    return out
+
+
+def _build_dedup_split_chunked(senders: np.ndarray, receivers: np.ndarray,
+                               n_nodes: int, *, tile_rows: int = 64,
+                               cu: int = 1024, threshold: int = 128,
+                               chunk_rows: int = 4 * 2 ** 20, seed: int = 0,
+                               ) -> Optional[ChunkedDedupTiles]:
+    """Chunked dedup layout with the direct/remote split (round 3).
+
+    The round-2 chunked kernel gathered EVERY unique (tile, sender)
+    slot and was bound by the ~85M rows/s XLA gather op rate (PERF.md:
+    955 of 1229 ms).  Here a (dst-tile, source-block) pair with
+    ``>= threshold`` edges becomes a *direct* job: its W block pairs
+    with the CU-row source block read straight from the resident
+    permuted feature table by the kernel's block pipeline — a streaming
+    read, no gather op.  Only the sparse remainder is gathered.
+    Cluster ordering concentrates each tile's senders in its own few
+    blocks, so the dense pairs carry most edges while the gathered slot
+    count drops ~2x.
+    """
+    senders = np.asarray(senders, dtype=np.int64)
+    receivers = np.asarray(receivers, dtype=np.int64)
+    if len(senders) == 0:
+        return None
+    TN, CU = tile_rows, cu
+    order_perm, pos = _locality_order(senders, receivers, n_nodes,
+                                      TN, seed=seed)
+    s_p = pos[senders]
+    r_p = pos[receivers]
+    num_tiles = -(-n_nodes // TN)
+    n_blocks = -(-n_nodes // CU)
+    tile_of = r_p // TN
+    local_row = r_p - tile_of * TN
+    blk_of = s_p // CU
+    within_blk = s_p - blk_of * CU
+
+    # dense/sparse split over (tile, source-block) pairs
+    pair_key = tile_of * n_blocks + blk_of
+    pk, p_inv, p_cnt = np.unique(pair_key, return_inverse=True,
+                                 return_counts=True)
+    dense_pair = p_cnt >= threshold
+    edge_dense = dense_pair[p_inv]
+
+    # direct jobs: one per dense pair, tile-major order (pk is sorted)
+    d_tile = (pk[dense_pair] // n_blocks).astype(np.int64)
+    d_blk = (pk[dense_pair] % n_blocks).astype(np.int64)
+    dir_per_tile = np.bincount(d_tile, minlength=num_tiles)
+    # rank of each direct job within its tile (d_tile sorted)
+    d_rank = np.arange(len(d_tile)) - np.searchsorted(d_tile, d_tile)
+
+    # remote slots: unique (tile, sender) over sparse edges
+    sp_mask = ~edge_dense
+    k2 = tile_of[sp_mask] * n_nodes + s_p[sp_mask]
+    uk, inv2 = np.unique(k2, return_inverse=True)
+    u_tile = (uk // n_nodes).astype(np.int64)
+    u_node = (uk % n_nodes).astype(np.int64)
+    u_cnt = np.bincount(u_tile, minlength=num_tiles)
+    rem_per_tile = -(-u_cnt // CU)
+    u_start = np.zeros(num_tiles + 1, dtype=np.int64)
+    np.cumsum(u_cnt, out=u_start[1:])
+    pos_in_tile = np.arange(len(uk), dtype=np.int64) - u_start[u_tile]
+
+    jobs_per_tile = dir_per_tile + rem_per_tile
+    job_offsets = np.zeros(num_tiles + 1, dtype=np.int64)
+    np.cumsum(jobs_per_tile, out=job_offsets[1:])
+    total_jobs = int(job_offsets[-1])
+    if total_jobs == 0:
+        return None
+    max_jobs = int(jobs_per_tile.max())
+
+    # global job ids (per tile: direct jobs first, then remote)
+    dir_job = job_offsets[d_tile] + d_rank                     # per pair
+    rem_job_of_slot = (job_offsets[u_tile] + dir_per_tile[u_tile]
+                       + pos_in_tile // CU)
+
+    # --- chunking: uniform tiles-per-chunk, remote-row budget ---------
+    total_rem_jobs = int(rem_per_tile.sum())
+    target_rem = max(1, chunk_rows // CU)
+    mean_rem = max(float(rem_per_tile.mean()), 1e-9)
+    tpc = max(1, min(num_tiles, int(target_rem / mean_rem)))
+    n_chunks = -(-num_tiles // tpc)
+    t_lo = np.minimum(np.arange(n_chunks) * tpc, num_tiles)
+    t_hi = np.minimum((np.arange(n_chunks) + 1) * tpc, num_tiles)
+    chunk_job_lo = job_offsets[t_lo]
+    chunk_job_hi = job_offsets[t_hi]
+    jobs_pad = int((chunk_job_hi - chunk_job_lo).max())
+    if jobs_pad == 0:
+        return None
+    rem_offsets = np.zeros(num_tiles + 1, dtype=np.int64)
+    np.cumsum(rem_per_tile, out=rem_offsets[1:])
+    chunk_rem_lo = rem_offsets[t_lo]
+    chunk_rem_hi = rem_offsets[t_hi]
+    rem_pad = max(int((chunk_rem_hi - chunk_rem_lo).max()), 1)
+
+    # chunk of each job / padded job position (direct into final layout)
+    chunk_of_tile = np.minimum(np.arange(num_tiles) // tpc, n_chunks - 1)
+
+    def padded_job(job_ids, tiles):
+        c = chunk_of_tile[tiles]
+        return c * jobs_pad + (job_ids - chunk_job_lo[c])
+
+    pj_dir = padded_job(dir_job, d_tile)                   # per dense pair
+    pj_rem_slot = padded_job(rem_job_of_slot, u_tile)      # per slot
+
+    # --- W blocks, scattered straight into the padded layout ----------
+    w_out = np.zeros((n_chunks * jobs_pad, TN, CU), dtype=np.int8)
+    w_idx_parts = []
+    if edge_dense.any():
+        # map pair index (pk space) -> padded direct-job position
+        pair_to_pj = np.full(len(pk), -1, dtype=np.int64)
+        pair_to_pj[np.nonzero(dense_pair)[0]] = pj_dir
+        w_idx_parts.append(
+            (pair_to_pj[p_inv[edge_dense]] * TN
+             + local_row[edge_dense]) * CU + within_blk[edge_dense])
+    if sp_mask.any():
+        w_idx_parts.append(
+            (pj_rem_slot[inv2].astype(np.int64) * TN
+             + local_row[sp_mask]) * CU + pos_in_tile[inv2] % CU)
+    w_idx = np.concatenate(w_idx_parts) if w_idx_parts else \
+        np.zeros(0, np.int64)
+    w_idx.sort(kind="stable")
+    boundary = np.empty(len(w_idx), dtype=bool)
+    if len(w_idx):
+        boundary[0] = True
+        np.not_equal(w_idx[1:], w_idx[:-1], out=boundary[1:])
+    starts = np.nonzero(boundary)[0]
+    cnts = np.diff(np.append(starts, len(w_idx)))
+    if cnts.max(initial=0) > 127:
+        return None  # int8 count overflow
+    w_flat = w_out.reshape(-1)
+    w_flat[w_idx[starts]] = cnts.astype(np.int8)
+    w_out = w_out.reshape(n_chunks, jobs_pad, TN, CU)
+
+    # --- remote gather ids, packed per chunk ---------------------------
+    # chunk-relative remote-job rank of each slot: remote-job index
+    # within its tile + remote jobs before the tile - chunk base
+    c_of_slot = chunk_of_tile[u_tile]
+    rem_rank = (rem_job_of_slot
+                - (job_offsets[u_tile] + dir_per_tile[u_tile])
+                + rem_offsets[u_tile] - chunk_rem_lo[c_of_slot])
+    u_out = np.zeros((n_chunks, rem_pad * CU), dtype=np.int32)
+    u_out.reshape(-1)[c_of_slot * (rem_pad * CU) + rem_rank * CU
+                      + pos_in_tile % CU] = u_node
+    # NB padding rem jobs gather row 0 (counted in the cost model)
+
+    # --- per-job scalar-prefetch arrays --------------------------------
+    is_dir = np.zeros(n_chunks * jobs_pad, dtype=np.int32)
+    is_dir[pj_dir] = 1
+    dblk_vals = np.zeros(n_chunks * jobs_pad, dtype=np.int64)
+    dblk_vals[pj_dir] = d_blk
+    dir_blk = _ffill(dblk_vals, is_dir.astype(bool)).astype(np.int32)
+    # remote jobs' chunk-relative block (dedup slots per job via unique)
+    rem_jobs_pj = np.unique(pj_rem_slot) if sp_mask.any() else \
+        np.zeros(0, np.int64)
+    rblk_vals = np.zeros(n_chunks * jobs_pad, dtype=np.int64)
+    has_rem = np.zeros(n_chunks * jobs_pad, dtype=bool)
+    if len(rem_jobs_pj):
+        # rank = rem_rank of any slot of that job (all slots share it)
+        order = np.argsort(pj_rem_slot, kind="stable")
+        firsts = order[np.searchsorted(pj_rem_slot[order], rem_jobs_pj)]
+        rblk_vals[rem_jobs_pj] = rem_rank[firsts]
+        has_rem[rem_jobs_pj] = True
+    rem_blk = _ffill(rblk_vals, has_rem).astype(np.int32)
+    # ffill must not carry ACROSS chunks for rem_blk (chunk-relative):
+    # reset leading carried values per chunk to 0 is unnecessary —
+    # clamped indices only avoid refetches; any in-range value is safe.
+    rem_blk = np.minimum(rem_blk, rem_pad - 1)
+
+    # chunk-rebased tile job offsets
+    offs_out = np.zeros((n_chunks, tpc + 1), dtype=np.int64)
+    for c in range(n_chunks):
+        a, b = int(t_lo[c]), int(t_hi[c])
+        offs_out[c, :b - a + 1] = job_offsets[a:b + 1] - chunk_job_lo[c]
+        offs_out[c, b - a + 1:] = offs_out[c, b - a]
+
+    return ChunkedDedupTiles(
+        u_senders=u_out,
+        w_blocks=w_out,
+        job_offsets=offs_out.astype(np.int32),
+        pos=pos.astype(np.int32),
+        perm=order_perm.astype(np.int32),
+        dir_blk=dir_blk.reshape(n_chunks, jobs_pad),
+        rem_blk=rem_blk.reshape(n_chunks, jobs_pad),
+        is_dir=is_dir.reshape(n_chunks, jobs_pad),
+        tile_rows=TN, cu=CU, max_jobs=max_jobs, num_tiles=num_tiles)
 
 
 @struct.dataclass

@@ -261,6 +261,179 @@ def _run_dedup_chunked(t: ChunkedDedupTiles, x: jnp.ndarray,
     return out[:n_nodes, :f]
 
 
+# ---------------------------------------------------------------------------
+# v3: split dedup kernel (direct-stream + gathered-remote)
+#
+# Round 2's chunked kernel was bound by the XLA row-gather op rate
+# (~85M rows/s — PERF.md).  Host-side, dense (dst-tile, source-block)
+# pairs become "direct" jobs whose (CU, F) source block the pipeline
+# streams straight out of the resident permuted feature table (block
+# index from scalar-prefetched dir_blk) — no gather op; only sparse
+# remainder slots are gathered (u_senders).  Per grid step the kernel
+# selects the active stream with is_dir; the inactive ref's block index
+# is carried forward by the host-built arrays, so the pipeline skips
+# its re-fetch (revisited-block elision) and HBM traffic stays ~one
+# block per job.
+# ---------------------------------------------------------------------------
+
+
+def _split_hi_lo_dot(w, u):
+    """acc contribution with the fp32 -> hi/lo bf16 split (see
+    _dedup_kernel: the MXU runs fp32 dots at bf16 precision; W is
+    bf16-exact so two full-speed passes recover ~1e-5 rel error)."""
+    if u.dtype == jnp.bfloat16:
+        return jax.lax.dot(w, u, preferred_element_type=jnp.float32)
+    u = u.astype(jnp.float32)
+    hi = u.astype(jnp.bfloat16)
+    lo = (u - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jax.lax.dot(w, hi, preferred_element_type=jnp.float32)
+            + jax.lax.dot(w, lo, preferred_element_type=jnp.float32))
+
+
+def _split_kernel(job_offsets_ref,  # SMEM scalar prefetch (tiles+1,)
+                  dir_blk_ref,      # SMEM (jobs_pad,)
+                  rem_blk_ref,      # SMEM (jobs_pad,) [unused in body]
+                  is_dir_ref,       # SMEM (jobs_pad,)
+                  w_ref,            # VMEM (1, TN, CU) int8
+                  x_ref,            # VMEM (CU, TF) direct source block
+                  u_ref,            # VMEM (CU, TF) gathered remote block
+                  out_ref,          # VMEM (TN, TF) dst tile (revisited)
+                  acc0_ref, acc1_ref, *, n_jobs_total: int):
+    i = pl.program_id(0)
+    c = pl.program_id(2)
+    njobs = job_offsets_ref[i + 1] - job_offsets_ref[i]
+
+    @pl.when(c == 0)
+    def _():
+        acc0_ref[...] = jnp.zeros_like(acc0_ref)
+        acc1_ref[...] = jnp.zeros_like(acc1_ref)
+
+    @pl.when(c < njobs)
+    def _():
+        # same clamped job index the BlockSpec index maps computed
+        first = job_offsets_ref[i]
+        last = jnp.maximum(job_offsets_ref[i + 1] - 1, first)
+        j = jnp.minimum(jnp.minimum(first + c, last), n_jobs_total - 1)
+        w = w_ref[0].astype(jnp.bfloat16)
+        u = jnp.where(is_dir_ref[j] == 1, x_ref[...], u_ref[...])
+        contrib = _split_hi_lo_dot(w, u)
+
+        @pl.when(c % 2 == 0)
+        def _():
+            acc0_ref[...] += contrib
+
+        @pl.when(c % 2 == 1)
+        def _():
+            acc1_ref[...] += contrib
+
+    @pl.when(c == pl.num_programs(2) - 1)
+    def _():
+        out_ref[...] = (acc0_ref[...] + acc1_ref[...]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "cu", "max_jobs",
+                                             "f_tile", "out_dtype"))
+def _spmm_split_call(job_offsets, dir_blk, rem_blk, is_dir, w_blocks,
+                     x_p, u_rows, *, tile_rows: int, cu: int,
+                     max_jobs: int, f_tile: int, out_dtype):
+    """One chunk of the split layout.  ``x_p``: the full resident
+    permuted feature table, rows padded to a CU multiple, cols to
+    ``f_tile`` multiples; ``u_rows``: this chunk's gathered remote rows
+    (rem_pad*CU, F_pad)."""
+    TN, CU = tile_rows, cu
+    num_tiles = job_offsets.shape[0] - 1
+    n_jobs_total = w_blocks.shape[0]
+    f_pad = x_p.shape[1]
+    f_tiles = f_pad // f_tile
+
+    def job_index(i, fi, c, offs, dblk, rblk, isd):
+        first = offs[i]
+        last = jnp.maximum(offs[i + 1] - 1, first)
+        return jnp.minimum(jnp.minimum(first + c, last), n_jobs_total - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(num_tiles, f_tiles, max_jobs),
+        in_specs=[
+            pl.BlockSpec(
+                (1, TN, CU),
+                lambda i, fi, c, *p: (job_index(i, fi, c, *p), 0, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (CU, f_tile),
+                lambda i, fi, c, offs, dblk, rblk, isd:
+                    (dblk[job_index(i, fi, c, offs, dblk, rblk, isd)], fi),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (CU, f_tile),
+                lambda i, fi, c, offs, dblk, rblk, isd:
+                    (rblk[job_index(i, fi, c, offs, dblk, rblk, isd)], fi),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TN, f_tile),
+                               lambda i, fi, c, *p: (i, fi),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((TN, f_tile), jnp.float32),
+            pltpu.VMEM((TN, f_tile), jnp.float32),
+        ],
+    )
+    nbytes = x_p.dtype.itemsize
+    return pl.pallas_call(
+        functools.partial(_split_kernel, n_jobs_total=n_jobs_total),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles * TN, f_pad), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_jobs_total * TN * CU * f_pad,
+            bytes_accessed=(n_jobs_total * (TN * CU + CU * f_pad * nbytes)
+                            + num_tiles * TN * f_pad * 4),
+            transcendentals=0,
+        ),
+    )(job_offsets, dir_blk, rem_blk, is_dir, w_blocks, x_p, u_rows)
+
+
+def _run_dedup_split_chunked(t: ChunkedDedupTiles, x: jnp.ndarray,
+                             n_nodes: int) -> jnp.ndarray:
+    """Split-layout chunked runner: permute x once, pad rows to a CU
+    multiple (direct blocks index it), scan chunks — each gathers only
+    its remote slots."""
+    if t.max_jobs == 0:
+        return jnp.zeros((n_nodes, x.shape[1]), x.dtype)
+    f = x.shape[1]
+    if t.perm is not None:
+        x = jnp.take(x, t.perm, axis=0)
+    f_tile = _pick_f_tile_dedup(f, t.cu, t.tile_rows, x.dtype.itemsize)
+    f_tiles = _cdiv(f, f_tile)
+    n_blocks = _cdiv(x.shape[0], t.cu)
+    row_pad = n_blocks * t.cu - x.shape[0]
+    col_pad = f_tiles * f_tile - f
+    if row_pad or col_pad:
+        x_p = jnp.pad(x, ((0, row_pad), (0, col_pad)))
+    else:
+        x_p = x
+    max_jobs = min(t.max_jobs, int(t.w_blocks.shape[1]))
+
+    def body(_, chunk):
+        offs, w, u_idx, dblk, rblk, isd = chunk
+        u_rows = jnp.take(x_p, u_idx, axis=0)
+        out_c = _spmm_split_call(offs, dblk, rblk, isd, w, x_p, u_rows,
+                                 tile_rows=t.tile_rows, cu=t.cu,
+                                 max_jobs=max_jobs, f_tile=f_tile,
+                                 out_dtype=x.dtype)
+        return None, out_c
+
+    _, outs = jax.lax.scan(body, None,
+                           (t.job_offsets, t.w_blocks, t.u_senders,
+                            t.dir_blk, t.rem_blk, t.is_dir))
+    out = outs.reshape(-1, outs.shape[-1])
+    if t.pos is not None:
+        return jnp.take(out, t.pos, axis=0)[:, :f]
+    return out[:n_nodes, :f]
+
+
 def _reduce_kernel(tile_offsets_ref,    # SMEM (num_tiles+1,) scalar prefetch
                    recv_ref,            # VMEM (1, 1, C) current receiver block
                    msgs_ref,            # VMEM (C, TF) current message block
@@ -404,6 +577,8 @@ def _spmm_forward(graph: Graph, x: jnp.ndarray) -> jnp.ndarray:
     if graph.dedup is not None:
         return _run_dedup(graph.dedup, x, graph.n_nodes)
     if graph.dedup_c is not None:
+        if graph.dedup_c.is_dir is not None:
+            return _run_dedup_split_chunked(graph.dedup_c, x, graph.n_nodes)
         return _run_dedup_chunked(graph.dedup_c, x, graph.n_nodes)
     if graph.tiled is None:
         raise NotImplementedError(
@@ -419,7 +594,10 @@ def _spmm_bwd(graph, g):
     if graph.dedup_t is not None:
         dx = _run_dedup(graph.dedup_t, g, graph.n_nodes)
     elif graph.dedup_c_t is not None:
-        dx = _run_dedup_chunked(graph.dedup_c_t, g, graph.n_nodes)
+        if graph.dedup_c_t.is_dir is not None:
+            dx = _run_dedup_split_chunked(graph.dedup_c_t, g, graph.n_nodes)
+        else:
+            dx = _run_dedup_chunked(graph.dedup_c_t, g, graph.n_nodes)
     elif graph.tiled_t is not None:
         dx = _run_tiled(graph.tiled_t, g, graph.n_nodes)
     else:

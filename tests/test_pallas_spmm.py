@@ -198,3 +198,68 @@ def test_chunked_dedup_matches_segment(rng):
     A = dense_adj(s, r, n_nodes)
     want_dx = 2.0 * A.T @ (A @ np.asarray(x))
     np.testing.assert_allclose(dx, want_dx, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("threshold,chunk_rows", [
+    (4, 1 << 20),    # most pairs direct, single chunk
+    (8, 2048),       # mixed direct/remote, many chunks
+    (10**9, 4096),   # all-remote degenerate (pure gather, chunked)
+])
+def test_split_chunked_matches_segment(rng, threshold, chunk_rows):
+    """The v3 direct/remote split layout (interpret mode) must match the
+    segment oracle for any density threshold, including the all-remote
+    degenerate case."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gist_tpu.graph import _build_dedup_split_chunked
+    from gist_tpu.ops.pallas_spmm import _run_dedup_split_chunked
+
+    n, f = 3000, 16
+    # dense pairs: hub receivers fed by one source block
+    hub_r = np.repeat(rng.integers(0, n, 20), 30)
+    hub_s = rng.integers(0, 1024, len(hub_r))
+    # sparse scatter
+    sc_s, sc_r = make_random_graph(rng, n, 4000)
+    s = np.concatenate([hub_s, sc_s])
+    r = np.concatenate([hub_r, sc_r])
+    t = _build_dedup_split_chunked(s, r, n, tile_rows=64,
+                                   threshold=threshold,
+                                   chunk_rows=chunk_rows)
+    assert t is not None and t.is_dir is not None
+    if threshold < 10**9:
+        assert t.is_dir.sum() > 0  # direct jobs exist
+    x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
+    t = t.to_device()
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(_run_dedup_split_chunked(t, x, n))
+    g = G.graph_from_edges(s, r, n)
+    want = np.asarray(spmm_segment(g, x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_split_chunked_gather_savings(rng):
+    """The split layout must gather strictly fewer rows than the v2
+    layout's unique-slot count on a clustered graph."""
+    from gist_tpu.graph import (_build_dedup_chunked,
+                                _build_dedup_split_chunked)
+
+    # clustered graph: communities of 64, mostly-internal edges
+    n, k = 4096, 64
+    comm = np.arange(n) // k
+    s_list, r_list = [], []
+    for _ in range(40):
+        src = rng.integers(0, n, n)
+        internal = rng.random(n) < 0.8
+        dst = np.where(internal,
+                       comm[src] * k + rng.integers(0, k, n),
+                       rng.integers(0, n, n))
+        s_list.append(src)
+        r_list.append(dst)
+    s, r = np.concatenate(s_list), np.concatenate(r_list)
+    v2 = _build_dedup_chunked(s, r, n, tile_rows=64, chunk_rows=1 << 14)
+    v3 = _build_dedup_split_chunked(s, r, n, tile_rows=64, threshold=64,
+                                    chunk_rows=1 << 14)
+    assert v2 is not None and v3 is not None
+    gathered_v2 = int(np.prod(np.asarray(v2.u_senders).shape))
+    gathered_v3 = int(np.prod(np.asarray(v3.u_senders).shape))
+    assert gathered_v3 < gathered_v2, (gathered_v3, gathered_v2)
