@@ -18,7 +18,14 @@ d*E*TN; d=0.64 on this graph -> ~5 GiB), which is what lets W + x +
 one chunk's gather + the scan output coexist in 16 GB HBM.  The built
 layout caches to data/ (the partitioner is the remaining build cost).
 
+Round 3 adds the SPLIT layout (v3, graph.py:_build_dedup_split_chunked):
+dense (tile, source-block) pairs stream directly from the resident
+feature table — no gather op — and only sparse slots are gathered,
+attacking the measured ~85M rows/s gather-op wall (the 955 ms of the
+round-2 1229 ms total).  Results -> results/r3_amazon_spmm.json.
+
 Usage:  python benchmarks/amazon_spmm_bench.py [chunk_rows_log2=21]
+            [threshold=128]   # 0 = round-2 v2 layout (no split)
 """
 
 import json
@@ -60,6 +67,7 @@ def main():
     from gist_tpu.graph import ChunkedDedupTiles
 
     chunk_rows = 2 ** (int(sys.argv[1]) if len(sys.argv) > 1 else 21)
+    threshold = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     tn = 64
     t0 = time.time()
     ds = synthetic_dataset("synth-amazon2m")
@@ -71,32 +79,49 @@ def main():
     seg_g = graph_from_edges(ds.senders, ds.receivers, ds.n_nodes)
     print(f"graph {time.time()-t0:.0f}s", flush=True)
 
-    cache = f"data/amazon_spmm_layout_v2_tn{tn}_c{chunk_rows}.npz"
+    ver = "v2" if threshold == 0 else f"v3t{threshold}"
+    cache = f"data/amazon_spmm_layout_{ver}_tn{tn}_c{chunk_rows}.npz"
     t0 = time.time()
+    opt_keys = ("pos", "perm", "dir_blk", "rem_blk", "is_dir")
+    legacy = {"pos": "p", "perm": "pm"}  # round-2 v2 cache key names
     if os.path.exists(cache):
         z = np.load(cache)
+        extra = {}
+        for k in opt_keys:
+            if k in z:
+                extra[k] = z[k]
+            elif legacy.get(k) in z:
+                extra[k] = z[legacy[k]]
         dc = ChunkedDedupTiles(
             u_senders=z["u"], w_blocks=z["w"], job_offsets=z["o"],
-            pos=z["p"] if "p" in z else None,
-            perm=z["pm"] if "pm" in z else None, tile_rows=tn, cu=1024,
-            max_jobs=int(z["mj"]), num_tiles=int(z["nt"]))
+            tile_rows=tn, cu=1024,
+            max_jobs=int(z["mj"]), num_tiles=int(z["nt"]), **extra)
     else:
-        dc = _build_dedup_chunked(ds.senders, ds.receivers, ds.n_nodes,
-                                  tile_rows=tn, chunk_rows=chunk_rows)
+        if threshold == 0:
+            dc = _build_dedup_chunked(ds.senders, ds.receivers,
+                                      ds.n_nodes, tile_rows=tn,
+                                      chunk_rows=chunk_rows)
+        else:
+            from gist_tpu.graph import _build_dedup_split_chunked
+            dc = _build_dedup_split_chunked(
+                ds.senders, ds.receivers, ds.n_nodes, tile_rows=tn,
+                threshold=threshold, chunk_rows=chunk_rows)
         assert dc is not None
         os.makedirs("data", exist_ok=True)
-        kw = {} if dc.pos is None else {"p": np.asarray(dc.pos)}
-        if dc.perm is not None:
-            kw["pm"] = np.asarray(dc.perm)
+        kw = {k: np.asarray(getattr(dc, k)) for k in opt_keys
+              if getattr(dc, k) is not None}
         np.savez(cache, u=np.asarray(dc.u_senders),
                  w=np.asarray(dc.w_blocks),
                  o=np.asarray(dc.job_offsets),
                  mj=dc.max_jobs, nt=dc.num_tiles, **kw)
     w_gib = dc.w_blocks.nbytes / 2 ** 30
+    gathered = int(np.asarray(dc.u_senders).size)
+    direct_jobs = 0 if dc.is_dir is None else int(np.asarray(dc.is_dir).sum())
     dc = dc.to_device()  # numpy leaves would re-transfer W per jit call
-    print(f"chunked layout {time.time()-t0:.0f}s: chunks={dc.n_chunks} "
+    print(f"{ver} layout {time.time()-t0:.0f}s: chunks={dc.n_chunks} "
           f"jobs_pad={dc.w_blocks.shape[1]} W={w_gib:.2f} GiB "
-          f"max_jobs={dc.max_jobs}", flush=True)
+          f"max_jobs={dc.max_jobs} gathered_rows={gathered / 1e6:.1f}M "
+          f"direct_jobs={direct_jobs}", flush=True)
 
     x = jnp.asarray(ds.features)
     dummy = jnp.zeros(8, jnp.int32)
@@ -128,9 +153,13 @@ def main():
           f"edges/s", flush=True)
 
     sol_s = E * F * 4 / 8.1e11   # one F-wide fp32 row read per edge
+    from gist_tpu.utils import hardware_tag
     out = {
         "dataset": "synth-amazon2m", "n_nodes": ds.n_nodes, "n_edges": E,
-        "f": F, "n_chunks": dc.n_chunks, "w_gib": w_gib,
+        "f": F, "layout": ver, "threshold": threshold,
+        "n_chunks": dc.n_chunks, "w_gib": w_gib,
+        "gathered_rows": gathered, "direct_jobs": direct_jobs,
+        "hardware": hardware_tag(),
         "rel_err_vs_segment": err,
         "pallas_chunked_ms": pal_s * 1e3,
         "pallas_edges_per_sec": E / pal_s,
@@ -139,7 +168,7 @@ def main():
         "speedup_vs_segment": seg_s / pal_s,
         "frac_of_per_edge_sol": sol_s / pal_s,
     }
-    with open("results/r2_amazon_spmm.json", "w") as f:
+    with open("results/r3_amazon_spmm.json", "w") as f:
         json.dump(out, f, indent=2, default=float)
     print(json.dumps(out), flush=True)
 

@@ -532,9 +532,14 @@ def sharded_aggregate(sg: ShardedGraph, mesh: Mesh,
             dev = jax.tree.map(lambda a: a[0], dev)
             return _local_agg_ring(sg, x_loc, dev)
 
+        # the device arrays enter the jit as runtime ARGUMENTS: closed
+        # over they'd embed as HLO literals (100+ MB of tile layouts),
+        # which breaks the remote-compile path (PERF.md)
+        jit_agg = jax.jit(agg_ring)
+
         def run(x_sharded):
-            return agg_ring(x_sharded, ring_device_arrays(sg))
-        return jax.jit(run)
+            return jit_agg(x_sharded, ring_device_arrays(sg))
+        return run
 
     if overlapped and sg.n_devices > 1:
         @partial(jax.shard_map, mesh=mesh,
@@ -558,11 +563,13 @@ def sharded_aggregate(sg: ShardedGraph, mesh: Mesh,
                 indices_are_sorted=True)
             return interior + boundary
 
+        jit_ov = jax.jit(agg_ov)
+
         def run(x_sharded):
-            return agg_ov(x_sharded, sg.send_idx, sg.int_senders,
+            return jit_ov(x_sharded, sg.send_idx, sg.int_senders,
                           sg.int_receivers, sg.bnd_senders,
                           sg.bnd_receivers)
-        return jax.jit(run)
+        return run
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P("graph", None), P("graph"), P("graph"),
@@ -572,7 +579,9 @@ def sharded_aggregate(sg: ShardedGraph, mesh: Mesh,
     def agg(x_loc, send_idx, senders, receivers):
         return _local_agg(sg, x_loc, send_idx[0], senders[0], receivers[0])
 
-    def run(x_sharded):
-        return agg(x_sharded, sg.send_idx, sg.senders, sg.receivers)
+    jit_plain = jax.jit(agg)
 
-    return jax.jit(run)
+    def run(x_sharded):
+        return jit_plain(x_sharded, sg.send_idx, sg.senders, sg.receivers)
+
+    return run

@@ -90,13 +90,18 @@ def build_sharded_sage_step(sg: ShardedGraph, mesh: Mesh, *,
         grads = jax.lax.psum(grads, "graph")
         return grads, loss
 
+    # dev enters the jit as a runtime argument — closure capture would
+    # embed the tile layouts as HLO literals and break remote compiles
     @jax.jit
-    def step(params, opt_state, x_sh, labels_sh, mask_sh):
-        grads, loss = grad_local(params, x_sh, labels_sh, mask_sh,
-                                 device_arrays(sg))
+    def jit_step(params, opt_state, x_sh, labels_sh, mask_sh, dev):
+        grads, loss = grad_local(params, x_sh, labels_sh, mask_sh, dev)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    def step(params, opt_state, x_sh, labels_sh, mask_sh):
+        return jit_step(params, opt_state, x_sh, labels_sh, mask_sh,
+                        device_arrays(sg))
 
     return opt.init, step
 
@@ -114,7 +119,9 @@ def build_sharded_sage_infer(sg: ShardedGraph, mesh: Mesh, *,
         return sharded_sage_forward(sg, params, x_loc, dev,
                                     use_layernorm=use_layernorm)
 
-    def run(params, x_sh):
-        return fwd(params, x_sh, device_arrays(sg))
+    jit_fwd = jax.jit(fwd)
 
-    return jax.jit(run)
+    def run(params, x_sh):
+        return jit_fwd(params, x_sh, device_arrays(sg))
+
+    return run
