@@ -1,7 +1,7 @@
 """Full-scale Amazon2M ultra-wide GIST — the reference's headline
 config shape (script/amazon/run_ist_sweep_amazon_ultrawide.py:16-21:
-hiddens {512,1024,2048}, 4 layers, K=8, psize 15000, batch 10) at true scale (2.45M
-nodes / 125M edges), reduced rounds.
+hiddens {512,1024,2048}, 4 layers, K in {1,8}, psize 15000, batch 10)
+at true scale (2.45M nodes / 125M edges), reduced rounds.
 
 K=8 subnets need 8 devices; with one real chip this runs on the
 virtual 8-device CPU mesh (accuracy is hardware-independent).  The
@@ -9,7 +9,12 @@ full-width model lives in host numpy (the ultra-wide regime); eval
 uses sage.apply_chunked_host (h2048 full-graph activations exceed
 both HBM and comfortable host RAM unchunked).
 
-Writes results/r2_amazon_uw_fullscale.json.  ~1 h on a 4-core host.
+Env: UW_HIDDEN in {512, 1024, 2048} (default 1024); UW_K (default 8 —
+pass 1 for the single-worker control).
+
+Writes results/r3_amazon_uw_fullscale_h{H}_k{K}.json with the F1
+curve, per-round wall times, and the host-prep/device-sync split that
+proves the async-dispatch overlap (round wall ~ max(burst, prep)).
 """
 import os, json, time
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
@@ -19,25 +24,30 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 from gist_tpu.data import synthetic_dataset
 from gist_tpu.models import sage
-from gist_tpu.train.common import TrainConfig
+from gist_tpu.train.common import TrainConfig, write_results
 from gist_tpu.train.ist_ultrawide import train_ist_ultrawide
 
 ds = synthetic_dataset("synth-amazon2m")
 ds.normalize_features()
 H = int(os.environ.get("UW_HIDDEN", "1024"))  # reference ultrawide
                                               # grid: {512,1024,2048}
+K = int(os.environ.get("UW_K", "8"))
 cfg = sage.SAGEConfig(ds.in_feats, H, ds.n_classes, n_layers=4,
                       dropout=0.2)
-tc = TrainConfig(lr=1e-2, weight_decay=0.0, n_epochs=16,
-                 num_subnet=8, iter_per_site=750)
+# fixed total epochs across K, like the reference grid (local epochs =
+# n_epochs // K, ist_distrib.py:385) — the K=1 control therefore runs
+# K x the wall steps; override with UW_EPOCHS to bound it
+tc = TrainConfig(lr=1e-2, weight_decay=0.0,
+                 n_epochs=int(os.environ.get("UW_EPOCHS", "16")),
+                 num_subnet=K, iter_per_site=750)
 t0 = time.time()
 res = train_ist_ultrawide(ds, cfg, tc, psize=15000, batch_size=10,
                           use_f1=True, cache_dir="data",
                           eval_every_rounds=4, verbose=True)
 res["wall_time"] = time.time() - t0
-res["config"] = {"n_hidden": H, "n_layers": 4, "num_subnet": 8,
+res["config"] = {"n_hidden": H, "n_layers": 4, "num_subnet": K,
                  "psize": 15000, "batch_size": 10, "iter_per_site": 750,
-                 "n_epochs": 16, "mesh": "8-device CPU"}
-with open("results/r2_amazon_uw_fullscale.json", "w") as f:
-    json.dump(res, f, indent=2, default=float)
-print("WROTE results/r2_amazon_uw_fullscale.json", flush=True)
+                 "n_epochs": tc.n_epochs, "mesh": "8-device CPU"}
+out = f"results/r3_amazon_uw_fullscale_h{H}_k{K}.json"
+write_results(res, out)
+print(f"WROTE {out}", flush=True)

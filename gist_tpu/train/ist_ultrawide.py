@@ -132,6 +132,7 @@ def train_ist_ultrawide(
 
     total_time = 0.0
     val_accs, test_accs, losses = [], [], []
+    round_wall, host_prep, device_sync = [], [], []
     if start_round >= n_rounds:
         va, ta = evaluate(full_params)
         val_accs.append(va)
@@ -149,14 +150,24 @@ def train_ist_ultrawide(
         # next round's host-side batch collection/padding runs WHILE the
         # device executes the burst (round wall ~ max(burst, host prep)
         # instead of their sum — SURVEY §7.3's named improvement over
-        # ultra_wide.py:143-204's serial staging)
+        # ultra_wide.py:143-204's serial staging).  Instrumentation for
+        # the overlap claim: host prep runs under the in-flight burst,
+        # device_sync is what remains of the burst after prep finishes
+        # (so burst ~ prep + sync when the device is the long pole, and
+        # the serial design would cost wall + prep more).
         shards, rl = burst_fn(shards, stacked_batches,
                               jnp.asarray(tc.lr), dk, tables)
+        t1 = time.time()
         if rnd + 1 < n_rounds:
             stacked_batches = _stack_batches(collector.collect())
+        t2 = time.time()
         trained = jax.tree.map(np.asarray, shards)   # one D2H per round
+        t3 = time.time()
         full_params = merge_host(full_params, bnds, trained, K, kind)
         total_time += time.time() - t0
+        round_wall.append(time.time() - t0)
+        host_prep.append(t2 - t1)
+        device_sync.append(t3 - t2)
         losses.append(float(np.mean(np.asarray(rl))))
         if (rnd + 1) % eval_every_rounds == 0 or rnd == n_rounds - 1:
             va, ta = evaluate(full_params)
@@ -178,6 +189,8 @@ def train_ist_ultrawide(
         "last_test": test_accs[-1], "best_test": max(test_accs),
         "val_accs": val_accs, "test_accs": test_accs, "losses": losses,
         "ultra_wide": True,
+        "round_wall_s": round_wall, "host_prep_s": host_prep,
+        "device_sync_s": device_sync,
     }
     if verbose:
         print(f"Training Time: {total_time:.4f}", flush=True)
