@@ -96,3 +96,53 @@ def test_lsgd_baseline_learns():
     res = train_ist_cluster(ds, cfg, tc, psize=8, batch_size=2, lsgd=True,
                             verbose=False)
     assert res["best_val"] > 0.3, res
+
+
+def test_gat_pallas_through_stacked_scan(rng):
+    """The composition the GAT auto-compose enables on TPU: stacked
+    gather-tile cluster batches scanned through gat.apply with the
+    fused kernel (interpret mode), forward + grad — de-risks the
+    round-path semantics before any chip time."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gist_tpu.data import synthetic_dataset
+    from gist_tpu.models import gat
+    from gist_tpu.sampler import ClusterSampler
+    from gist_tpu.train.ist_cluster import _stack_batches
+
+    ds = synthetic_dataset("synth-tiny")
+    s = ClusterSampler(ds, psize=4, batch_size=2, tiles=True,
+                       tile_mode="gather")
+    gen = s.iter_node_ids()
+    batches = [s.make_batch(next(gen), node_pad=256, numpy=True,
+                            ids_only=True) for _ in range(2)]
+    stacked = _stack_batches(batches)
+    tables = s.tables()
+    cfg = gat.GATConfig(s.features.shape[1], 8, ds.n_classes, n_layers=2,
+                        n_heads=2)
+    params = gat.init(jax.random.PRNGKey(0), cfg)
+
+    def round_loss(params, stacked, backend):
+        def body(acc, batch):
+            graph, feats, labels, mask = ClusterSampler.resolve_batch(
+                batch, tables)
+            logits = gat.apply(params, graph, feats, cfg, backend=backend)
+            m = mask.astype(jnp.float32)
+            logp = jax.nn.log_softmax(logits)
+            nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+            return acc + jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0), None
+
+        total, _ = jax.lax.scan(body, 0.0, stacked)
+        return total
+
+    want, gwant = jax.value_and_grad(round_loss)(params, stacked,
+                                                 "segment")
+    with pltpu.force_tpu_interpret_mode():
+        got, ggot = jax.value_and_grad(round_loss)(params, stacked,
+                                                   "pallas")
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-2)
+    for a, b in zip(jax.tree.leaves(ggot), jax.tree.leaves(gwant)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.1, atol=0.02)
