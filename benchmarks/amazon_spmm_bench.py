@@ -68,6 +68,10 @@ def main():
 
     chunk_rows = 2 ** (int(sys.argv[1]) if len(sys.argv) > 1 else 21)
     threshold = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    # CU=512 halves the per-tile slot padding (81.4M -> ~75.6M gathered
+    # rows on this graph) at 2x the job count — the one remaining
+    # practical lever per the round-3 cost model
+    cu = int(os.environ.get("SPMM_CU", "1024"))
     tn = 64
     t0 = time.time()
     ds = synthetic_dataset("synth-amazon2m")
@@ -80,6 +84,8 @@ def main():
     print(f"graph {time.time()-t0:.0f}s", flush=True)
 
     ver = "v2" if threshold == 0 else f"v3t{threshold}"
+    if cu != 1024:
+        ver += f"u{cu}"
     cache = f"data/amazon_spmm_layout_{ver}_tn{tn}_c{chunk_rows}.npz"
     t0 = time.time()
     opt_keys = ("pos", "perm", "dir_blk", "rem_blk", "is_dir")
@@ -94,18 +100,18 @@ def main():
                 extra[k] = z[legacy[k]]
         dc = ChunkedDedupTiles(
             u_senders=z["u"], w_blocks=z["w"], job_offsets=z["o"],
-            tile_rows=tn, cu=1024,
+            tile_rows=tn, cu=cu,
             max_jobs=int(z["mj"]), num_tiles=int(z["nt"]), **extra)
     else:
         if threshold == 0:
             dc = _build_dedup_chunked(ds.senders, ds.receivers,
-                                      ds.n_nodes, tile_rows=tn,
+                                      ds.n_nodes, tile_rows=tn, cu=cu,
                                       chunk_rows=chunk_rows)
         else:
             from gist_tpu.graph import _build_dedup_split_chunked
             dc = _build_dedup_split_chunked(
                 ds.senders, ds.receivers, ds.n_nodes, tile_rows=tn,
-                threshold=threshold, chunk_rows=chunk_rows)
+                cu=cu, threshold=threshold, chunk_rows=chunk_rows)
         assert dc is not None
         os.makedirs("data", exist_ok=True)
         kw = {k: np.asarray(getattr(dc, k)) for k in opt_keys
@@ -156,7 +162,7 @@ def main():
     from gist_tpu.utils import hardware_tag
     out = {
         "dataset": "synth-amazon2m", "n_nodes": ds.n_nodes, "n_edges": E,
-        "f": F, "layout": ver, "threshold": threshold,
+        "f": F, "layout": ver, "threshold": threshold, "cu": cu,
         "n_chunks": dc.n_chunks, "w_gib": w_gib,
         "gathered_rows": gathered, "direct_jobs": direct_jobs,
         "hardware": hardware_tag(),

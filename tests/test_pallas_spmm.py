@@ -200,12 +200,13 @@ def test_chunked_dedup_matches_segment(rng):
     np.testing.assert_allclose(dx, want_dx, rtol=1e-3, atol=1e-3)
 
 
-@pytest.mark.parametrize("threshold,chunk_rows", [
-    (4, 1 << 20),    # most pairs direct, single chunk
-    (8, 2048),       # mixed direct/remote, many chunks
-    (10**9, 4096),   # all-remote degenerate (pure gather, chunked)
+@pytest.mark.parametrize("threshold,chunk_rows,cu", [
+    (4, 1 << 20, 1024),  # most pairs direct, single chunk
+    (8, 2048, 1024),     # mixed direct/remote, many chunks
+    (10**9, 4096, 1024),  # all-remote degenerate (pure gather, chunked)
+    (8, 2048, 512),      # padding-trim block size
 ])
-def test_split_chunked_matches_segment(rng, threshold, chunk_rows):
+def test_split_chunked_matches_segment(rng, threshold, chunk_rows, cu):
     """The v3 direct/remote split layout (interpret mode) must match the
     segment oracle for any density threshold, including the all-remote
     degenerate case."""
@@ -222,7 +223,7 @@ def test_split_chunked_matches_segment(rng, threshold, chunk_rows):
     sc_s, sc_r = make_random_graph(rng, n, 4000)
     s = np.concatenate([hub_s, sc_s])
     r = np.concatenate([hub_r, sc_r])
-    t = _build_dedup_split_chunked(s, r, n, tile_rows=64,
+    t = _build_dedup_split_chunked(s, r, n, tile_rows=64, cu=cu,
                                    threshold=threshold,
                                    chunk_rows=chunk_rows)
     assert t is not None and t.is_dir is not None
