@@ -86,11 +86,21 @@ def save_sweep_curves(jsonl_path: str, out_path: str, *, x: str,
         if group else [None]
     for k in keys:
         sel = [r for r in rows if group is None or r.get(group) == k]
-        sel.sort(key=lambda r: r[x])
-        xs = [r[x] for r in sel]
-        ys = [r[y] for r in sel]
+        # aggregate trials per x cell: mean with a std error band
+        # (trials >= 3 since round 3, script/baseline_sweep.py:13,25)
+        cells = {}
+        for r in sel:
+            cells.setdefault(r[x], []).append(r[y])
+        xs = sorted(cells)
+        means = [sum(cells[v]) / len(cells[v]) for v in xs]
+        stds = [(sum((u - m) ** 2 for u in cells[v]) / len(cells[v])) ** 0.5
+                for v, m in zip(xs, means)]
         label = f"{group}={k}" if group else y
-        ax.plot(xs, ys, marker="o", ms=4, label=label)
+        line, = ax.plot(xs, means, marker="o", ms=4, label=label)
+        if any(s > 0 for s in stds):
+            ax.fill_between(xs, [m - s for m, s in zip(means, stds)],
+                            [m + s for m, s in zip(means, stds)],
+                            color=line.get_color(), alpha=0.15, lw=0)
     ax.set_xlabel(x)
     ax.set_ylabel(y)
     ax.legend()
