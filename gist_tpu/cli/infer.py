@@ -68,7 +68,14 @@ def main(argv=None):
         logits = np.asarray(logits)
 
     results = {"checkpoint": ck, "dataset": ds.name}
-    if args.use_f1:
+    if ds.labels_multi is not None:
+        # multitask (ppi): threshold-at-0 micro-F1 on the multi-hot
+        # matrix (cluster_gcn/utils.py:47-57)
+        results["val"] = micro_f1(logits, ds.labels_multi, ds.val_mask,
+                                  multitask=True)
+        results["test"] = micro_f1(logits, ds.labels_multi, ds.test_mask,
+                                   multitask=True)
+    elif args.use_f1:
         results["val"] = micro_f1(logits, ds.labels, ds.val_mask)
         results["test"] = micro_f1(logits, ds.labels, ds.test_mask)
     else:
