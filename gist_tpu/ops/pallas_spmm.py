@@ -210,9 +210,14 @@ def _run_dedup(t: DedupTiles, x: jnp.ndarray, n_nodes: int) -> jnp.ndarray:
         # one streaming permute so per-tile gather indices are sorted
         # and cluster-local (u_senders are in permuted space)
         x = jnp.take(x, t.perm, axis=0)
-    u_rows = jnp.take(x, t.u_senders, axis=0)        # (U_pad, F) phase 1
-    f_tile = _pick_f_tile_dedup(f, t.cu, t.tile_rows,
-                                u_rows.dtype.itemsize)
+    f_tile = _pick_f_tile_dedup(f, t.cu, t.tile_rows, x.dtype.itemsize)
+    # pad the SOURCE table to the feature tile before gathering: padding
+    # the (much larger) gathered buffer afterwards costs an extra full
+    # pass over ~d*E*F bytes per call
+    f_tiles = _cdiv(f, f_tile)
+    if f % f_tile:
+        x = jnp.pad(x, ((0, 0), (0, f_tiles * f_tile - f)))
+    u_rows = jnp.take(x, t.u_senders, axis=0)        # (U_pad, F_pad)
     out = _spmm_dedup_call(t.job_offsets, t.w_blocks, u_rows, None,
                            tile_rows=t.tile_rows, cu=t.cu,
                            max_jobs=t.max_jobs, f_tile=f_tile,
