@@ -65,8 +65,37 @@ def main():
                          "ms": round(dt * 1e3, 2),
                          "edges_per_s_M": round(E / dt / 1e6, 1)})
             print(rows[-1], flush=True)
+    # gather-rate microbench: does row-byte alignment change the
+    # take() rate?  (F=602 fp32 rows are 2408 B — not 512-aligned; the
+    # padded table's 640-col rows are 2560 B.)
+    import jax
+
+    gather_rows = []
+    idx = jnp.asarray(np.random.default_rng(0).integers(
+        0, ds.n_nodes, 1 << 20).astype(np.int32))
+    for cols in (602, 608, 640):
+        xv = jnp.pad(x32, ((0, 0), (0, cols - F))) if cols > F else x32
+
+        @jax.jit
+        def run(xv, idx):
+            def body(i, acc):
+                rows = jnp.take(xv, idx + i, axis=0)
+                return acc + rows[0, 0]
+            return jax.lax.fori_loop(0, 10, body, jnp.float32(0.0))
+
+        _ = float(run(xv, idx))
+        t0 = time.time()
+        _ = float(run(xv, idx))
+        dt = (time.time() - t0) / 10
+        gbs = len(idx) * cols * 4 / dt / 1e9
+        gather_rows.append({"cols": cols, "ms_per_1M_rows": round(
+            dt * 1e3, 2), "GB_s": round(gbs, 1),
+            "rows_per_s_M": round(len(idx) / dt / 1e6, 1)})
+        print(gather_rows[-1], flush=True)
+
     out = {"dataset": "synth-reddit-small", "n_edges": E, "f": F,
-           "hardware": hardware_tag(), "rows": rows}
+           "hardware": hardware_tag(), "rows": rows,
+           "gather_microbench": gather_rows}
     with open("results/r3_kernel_tune.json", "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out["rows"][-1] if rows else {}), flush=True)
