@@ -100,9 +100,14 @@ def main():
         sgd = build_sharded_graph(ds.senders, ds.receivers, ds.n_nodes, d,
                                   interior_tiles=False)
         proj = sgd.projected_scaling(t1_agg_s=sharded_s, f=F)
+        proj16 = sgd.projected_scaling(t1_agg_s=sharded_s, f=F,
+                                       halo_itemsize=2)
+        proj["efficiency_overlap_bf16_halo"] = (
+            proj16["efficiency_overlap"])
         projections[f"d{d}"] = proj
         print(f"D={d}: efficiency {proj['efficiency_overlap']:.1%} "
-              f"(overlap), edge balance {proj['edge_balance']:.2f}x",
+              f"(overlap; {proj16['efficiency_overlap']:.1%} with "
+              f"bf16 halos), edge balance {proj['edge_balance']:.2f}x",
               flush=True)
 
     out = {

@@ -117,7 +117,8 @@ class ShardedGraph:
 
     def projected_scaling(self, t1_agg_s: float, f: int,
                           itemsize: int = 4,
-                          ici_bytes_per_s: float = 4.5e10) -> dict:
+                          ici_bytes_per_s: float = 4.5e10,
+                          halo_itemsize: Optional[int] = None) -> dict:
         """Project the D-chip edges/s scaling efficiency of one SpMM
         aggregation from a measured single-chip time (the ≥80%
         north-star number, BASELINE.md; single-chip times come from
@@ -133,7 +134,12 @@ class ShardedGraph:
         rows each device sends per ring shift at one ICI link's
         bandwidth (~45 GB/s/direction on v5e).  Latency per shift is
         ignored — halo payloads here are MB-scale.
+
+        ``halo_itemsize`` (default = ``itemsize``) models
+        ``sharded_aggregate(halo_dtype=...)``: bf16-on-the-wire at fp32
+        compute passes ``itemsize=4, halo_itemsize=2``.
         """
+        h_item = itemsize if halo_itemsize is None else halo_itemsize
         D = self.n_devices
         E = max(self.n_edges, 1)
         recv = np.asarray(self.receivers)
@@ -146,7 +152,7 @@ class ShardedGraph:
         t_bnd = float(bnd_dev[worst]) * t_edge
         t_int = t_comp - t_bnd
         wire_rows = sum(self.ring_pads)       # rows sent per device
-        t_wire = wire_rows * f * itemsize / ici_bytes_per_s
+        t_wire = wire_rows * f * h_item / ici_bytes_per_s
         t_overlap = max(t_int, t_wire) + t_bnd
         t_serial = t_comp + t_wire
         ideal = t1_agg_s / D
@@ -156,7 +162,7 @@ class ShardedGraph:
             "edges_per_device_mean": float(edges_dev.mean()),
             "edge_balance": float(edges_dev.max() * D / E),
             "wire_rows_per_device": int(wire_rows),
-            "wire_bytes_per_device": int(wire_rows * f * itemsize),
+            "wire_bytes_per_device": int(wire_rows * f * h_item),
             "t_compute_s": t_comp,
             "t_wire_s": t_wire,
             "t_step_overlap_s": t_overlap,
@@ -417,22 +423,30 @@ def unshard(sg: ShardedGraph, y) -> jnp.ndarray:
     return jnp.take(y, sg.node_perm, axis=0)
 
 
-def _ring_halo(sg: ShardedGraph, x_loc, ring_send_local):
+def _ring_halo(sg: ShardedGraph, x_loc, ring_send_local,
+               halo_dtype=None):
     """One ppermute per non-empty shift; returns the concatenated halo
     rows in shift order (matching ``ring_bnd_senders``).  Each shift's
     block is padded only to that shift's own max — locality-ordered
     partitions make far shifts empty (dropped host-side), so the wire
     carries near-ideal volume (vs every (i,j) block padded to the
-    global max in the all_to_all layout)."""
+    global max in the all_to_all layout).
+
+    ``halo_dtype`` (e.g. ``jnp.bfloat16``) casts boundary rows for the
+    wire only — halved ICI bytes at fp32 compute; rows are cast back
+    before the boundary SpMM, so only halo (not interior) contributions
+    see the rounding."""
     D = sg.n_devices
     blocks = []
     for k, send_idx in zip(sg.ring_shifts, ring_send_local):
         send = jnp.take(x_loc, send_idx, axis=0)
+        if halo_dtype is not None:
+            send = send.astype(halo_dtype)
         perm = [(j, (j + k) % D) for j in range(D)]
         blocks.append(jax.lax.ppermute(send, "graph", perm))
     if not blocks:
         return jnp.zeros((8, x_loc.shape[-1]), x_loc.dtype)
-    return jnp.concatenate(blocks, axis=0)
+    return jnp.concatenate(blocks, axis=0).astype(x_loc.dtype)
 
 
 def _local_agg(sg: ShardedGraph, x_loc, send_idx_me, senders, receivers):
@@ -488,7 +502,7 @@ def ring_device_arrays(sg: ShardedGraph) -> dict:
     return dev
 
 
-def _local_agg_ring(sg: ShardedGraph, x_loc, dev):
+def _local_agg_ring(sg: ShardedGraph, x_loc, dev, halo_dtype=None):
     """Ring halo exchange + interior/boundary split: the interior-edge
     SpMM is data-independent of the ppermutes, so XLA's latency-hiding
     scheduler runs it while halos are on the wire; only the (much
@@ -497,7 +511,7 @@ def _local_agg_ring(sg: ShardedGraph, x_loc, dev):
     the bundle carries interior dedup tiles, the interior SpMM runs on
     the Pallas block-dense kernel (fwd + bwd); boundary edges stay on
     segment_sum."""
-    halo = _ring_halo(sg, x_loc, dev["ring_send"])
+    halo = _ring_halo(sg, x_loc, dev["ring_send"], halo_dtype)
     if "int_dedup" in dev:
         interior = _dedup_agg_fn(sg.n_loc_pad)(
             (dev["int_dedup"], dev["int_dedup_t"]), x_loc)
@@ -512,14 +526,21 @@ def _local_agg_ring(sg: ShardedGraph, x_loc, dev):
 
 
 def sharded_aggregate(sg: ShardedGraph, mesh: Mesh,
-                      overlapped: bool = True, ring: bool = True):
+                      overlapped: bool = True, ring: bool = True,
+                      halo_dtype=None):
     """Returns jitted ``agg(x_sharded) -> y_sharded`` ((D*n_loc_pad, F)
     in, same out), the distributed ``out[r] = sum x[s]``.  Default is
     the ring exchange with the interior/boundary overlap; ``ring=False``
     uses the round-1 all_to_all layout (kept as a reference point).
     The ring layout is inherently overlapped (interior/boundary split),
     so ``overlapped=False`` always selects the plain serial all_to_all
-    variant regardless of ``ring``."""
+    variant regardless of ``ring``.
+
+    ``halo_dtype=jnp.bfloat16`` ships boundary rows over ICI in bf16
+    while computing in the features' dtype — halves the wire term of
+    :meth:`ShardedGraph.projected_scaling` for fp32 runs (only halo
+    contributions see bf16 rounding; interior edges stay exact).
+    Applies to the ring layout (the default path)."""
 
     if ring and overlapped:
         # also the D=1 degenerate case: no shifts, interior == all
@@ -530,7 +551,7 @@ def sharded_aggregate(sg: ShardedGraph, mesh: Mesh,
                  check_vma=False)
         def agg_ring(x_loc, dev):
             dev = jax.tree.map(lambda a: a[0], dev)
-            return _local_agg_ring(sg, x_loc, dev)
+            return _local_agg_ring(sg, x_loc, dev, halo_dtype)
 
         # the device arrays enter the jit as runtime ARGUMENTS: closed
         # over they'd embed as HLO literals (100+ MB of tile layouts),

@@ -38,17 +38,19 @@ def device_arrays(sg: ShardedGraph) -> dict:
 
 
 def sharded_sage_forward(sg: ShardedGraph, params: dict, x_loc, dev,
-                         *, use_layernorm: bool = True):
+                         *, use_layernorm: bool = True,
+                         halo_dtype=None):
     """Per-device SAGE stack forward (inside shard_map).  ``dev`` is the
     local slice of :func:`device_arrays` (leading axis stripped).  Every
     layer's ring halo exchange overlaps with its interior-edge SpMM
-    (graph_shard._local_agg_ring)."""
+    (graph_shard._local_agg_ring).  ``halo_dtype=jnp.bfloat16`` halves
+    every layer's ICI halo bytes while keeping fp32 compute."""
     inv = jnp.where(dev["in_deg"] > 0,
                     1.0 / jnp.maximum(dev["in_deg"], 1.0), 0.0)[:, None]
     h = x_loc
     n = len(params["layers"])
     for i, layer in enumerate(params["layers"]):
-        ah = _local_agg_ring(sg, h, dev) * inv
+        ah = _local_agg_ring(sg, h, dev, halo_dtype) * inv
         h = jnp.concatenate([h, ah], axis=1)
         h = h @ layer["w"] + layer["b"]
         is_last = i == n - 1
@@ -61,7 +63,8 @@ def sharded_sage_forward(sg: ShardedGraph, params: dict, x_loc, dev,
 
 def build_sharded_sage_step(sg: ShardedGraph, mesh: Mesh, *,
                             lr: float, weight_decay: float,
-                            use_layernorm: bool = True):
+                            use_layernorm: bool = True,
+                            halo_dtype=None):
     """Returns (init_opt_state, jitted step):
     ``params, opt_state, loss = step(params, opt_state, x_sh, labels_sh,
     mask_sh)``, with x/labels/mask sharded (D*n_loc_pad leading dim)."""
@@ -77,7 +80,8 @@ def build_sharded_sage_step(sg: ShardedGraph, mesh: Mesh, *,
 
         def loss_fn(p):
             logits = sharded_sage_forward(
-                sg, p, x_loc, dev, use_layernorm=use_layernorm)
+                sg, p, x_loc, dev, use_layernorm=use_layernorm,
+                halo_dtype=halo_dtype)
             logp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(logp, labels_loc[:, None],
                                        axis=-1)[:, 0]

@@ -111,6 +111,52 @@ def test_all_halo_variants_agree(rng):
                                    atol=1e-5)
 
 
+def test_bf16_halo_matches_fp32_within_rounding(rng):
+    """halo_dtype=bf16 ships only boundary rows in bf16: the result must
+    equal a dense oracle whose *halo contributions alone* are bf16-
+    rounded (interior edges stay exact), and stay close to full fp32."""
+    n, d = 64, 4
+    s, r = make_random_graph(rng, n, 400)
+    sg = build_sharded_graph(s, r, n, d)
+    mesh = make_mesh(d)
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    xs = shard_features(sg, x, mesh)
+    y16 = unshard(sg, sharded_aggregate(sg, mesh,
+                                        halo_dtype=jnp.bfloat16)(xs))
+    A = dense_adj(s, r, n)
+    want = A @ x
+    np.testing.assert_allclose(np.asarray(y16), want, rtol=2e-2,
+                               atol=2e-2)
+    # exact check: recompute with senders' rows bf16-rounded iff the
+    # edge crosses shards (matching which rows rode the wire)
+    perm = np.asarray(sg.node_perm)        # old id -> shard-order row
+    owner = perm // sg.n_loc_pad
+    x_rounded = x.astype(jnp.bfloat16).astype(np.float32)
+    y_exact = np.zeros_like(want)
+    for si, ri_ in zip(s, r):
+        row = x_rounded[si] if owner[si] != owner[ri_] else x[si]
+        y_exact[ri_] += row
+    np.testing.assert_allclose(np.asarray(y16), y_exact, rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_projected_scaling_halo_itemsize():
+    """bf16-on-the-wire halves the wire term and never lowers projected
+    efficiency."""
+    n, d = 1024, 8
+    s, r = [], []
+    for k in range(1, 4):
+        idx = np.arange(n)
+        s += [idx, (idx + k) % n]
+        r += [(idx + k) % n, idx]
+    s, r = np.concatenate(s), np.concatenate(r)
+    sg = build_sharded_graph(s, r, n, d)
+    p32 = sg.projected_scaling(t1_agg_s=1e-2, f=602)
+    p16 = sg.projected_scaling(t1_agg_s=1e-2, f=602, halo_itemsize=2)
+    assert p16["t_wire_s"] == pytest.approx(p32["t_wire_s"] / 2)
+    assert p16["efficiency_overlap"] >= p32["efficiency_overlap"]
+
+
 def test_ring_comm_volume_near_ideal_on_lattice():
     """VERDICT r1 #7 done-criterion: halo waste < 2x ideal on the
     lattice at D=8, and far below the all_to_all global-max layout."""

@@ -82,3 +82,36 @@ def test_sharded_step_matches_single_device():
                                rtol=1e-3, atol=1e-4)
     acc = masked_accuracy(got, labels, mask)
     assert np.isfinite(float(acc))
+
+
+def test_sharded_step_bf16_halo_trains():
+    """halo_dtype=bf16 (wire compression, fp32 compute) stays close to
+    the fp32-wire sharded step over a few training steps."""
+    ds = synthetic_dataset("synth-tiny")
+    d = 4
+    mesh = Mesh(np.asarray(jax.devices()[:d]), ("graph",))
+    sg = build_sharded_graph(ds.senders, ds.receivers, ds.n_nodes, d)
+    cfg = sage.SAGEConfig(ds.in_feats, 16, ds.n_classes, n_layers=1,
+                          dropout=0.0)
+    params = sage.init(jax.random.PRNGKey(0), cfg)
+    xs = shard_features(sg, ds.features, mesh)
+    perm = np.asarray(sg.node_perm)
+    lab = np.zeros(sg.total_rows, np.int32)
+    lab[perm] = ds.labels
+    msk = np.zeros(sg.total_rows, bool)
+    msk[perm] = ds.train_mask
+    labels_sh, mask_sh = jnp.asarray(lab), jnp.asarray(msk)
+
+    losses = {}
+    for tag, hdt in (("fp32", None), ("bf16", jnp.bfloat16)):
+        init_opt, step = build_sharded_sage_step(sg, mesh, lr=1e-2,
+                                                 weight_decay=0.0,
+                                                 halo_dtype=hdt)
+        p, st = params, init_opt(params)
+        ls = []
+        for _ in range(4):
+            p, st, loss = step(p, st, xs, labels_sh, mask_sh)
+            ls.append(float(loss))
+        losses[tag] = ls
+    np.testing.assert_allclose(losses["bf16"], losses["fp32"],
+                               rtol=5e-2, atol=5e-2)
