@@ -19,6 +19,10 @@ def main(argv=None):
                    help="devices to shard over (default: all)")
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--use-f1", action="store_true")
+    p.add_argument("--halo-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="wire dtype for the ring halo exchange; "
+                        "bfloat16 halves ICI bytes at fp32 compute")
     args = p.parse_args(argv)
     apply_backend(args)
 
@@ -61,9 +65,10 @@ def main(argv=None):
                           n_layers=args.n_layers, dropout=0.0,
                           use_layernorm=str2bool(args.use_layernorm))
     params = sage.init(jax.random.PRNGKey(args.rnd_seed), cfg)
+    hdt = jnp.bfloat16 if args.halo_dtype == "bfloat16" else None
     init_opt, step = build_sharded_sage_step(
         sg, mesh, lr=args.lr, weight_decay=args.weight_decay,
-        use_layernorm=str2bool(args.use_layernorm))
+        use_layernorm=str2bool(args.use_layernorm), halo_dtype=hdt)
     infer = build_sharded_sage_infer(
         sg, mesh, use_layernorm=str2bool(args.use_layernorm))
     opt_state = init_opt(params)
