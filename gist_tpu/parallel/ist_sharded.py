@@ -51,6 +51,7 @@ def build_ist_sharded_round(
     weight_decay: float = 0.0,
     use_layernorm: bool = True,
     n_steps: int = 1,
+    halo_dtype=None,
 ):
     """Jitted full round over the 2-D mesh:
 
@@ -79,7 +80,8 @@ def build_ist_sharded_round(
 
         def loss_fn(p):
             logits = sharded_sage_forward(
-                sg, p, x_loc, dev, use_layernorm=use_layernorm)
+                sg, p, x_loc, dev, use_layernorm=use_layernorm,
+                halo_dtype=halo_dtype)
             logp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(logp, labels_loc[:, None],
                                        axis=-1)[:, 0]
