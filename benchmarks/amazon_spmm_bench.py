@@ -174,7 +174,9 @@ def main():
         "speedup_vs_segment": seg_s / pal_s,
         "frac_of_per_edge_sol": sol_s / pal_s,
     }
-    with open("results/r3_amazon_spmm.json", "w") as f:
+    out_path = os.environ.get(
+        "SPMM_OUT", f"results/r4_amazon_spmm_{ver}.json")
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=2, default=float)
     print(json.dumps(out), flush=True)
 

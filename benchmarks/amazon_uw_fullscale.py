@@ -10,11 +10,18 @@ uses sage.apply_chunked_host (h2048 full-graph activations exceed
 both HBM and comfortable host RAM unchunked).
 
 Env: UW_HIDDEN in {512, 1024, 2048} (default 1024); UW_K (default 8 —
-pass 1 for the single-worker control).
+pass 1 for the single-worker control); UW_EPOCHS (total-epoch budget,
+local epochs = UW_EPOCHS // K); UW_EVAL_EVERY (rounds between full
+evals, default 1 so val_accs is always a CURVE — widen only when the
+host eval dominates wall, and say so in the artifact); UW_TAG
+(filename suffix, e.g. "r4").
 
-Writes results/r3_amazon_uw_fullscale_h{H}_k{K}.json with the F1
-curve, per-round wall times, and the host-prep/device-sync split that
-proves the async-dispatch overlap (round wall ~ max(burst, prep)).
+Writes results/{UW_TAG}_amazon_uw_fullscale_h{H}_k{K}.json with the F1
+curve, per-round wall times, per-eval cumulative train time
+(time-to-F1), and the host-prep/device-sync split that proves the
+async-dispatch overlap (round wall ~ max(burst, prep)).  Checkpoints
+each eval to data/uw_ckpt_h{H}_k{K} and resumes from there, so a
+killed run continues instead of restarting.
 """
 import os, json, time
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
@@ -40,14 +47,19 @@ cfg = sage.SAGEConfig(ds.in_feats, H, ds.n_classes, n_layers=4,
 tc = TrainConfig(lr=1e-2, weight_decay=0.0,
                  n_epochs=int(os.environ.get("UW_EPOCHS", "16")),
                  num_subnet=K, iter_per_site=750)
+eval_every = int(os.environ.get("UW_EVAL_EVERY", "1"))
+tag = os.environ.get("UW_TAG", "r4")
+ckpt = os.environ.get("UW_CKPT", f"data/uw_ckpt_h{H}_k{K}")
 t0 = time.time()
 res = train_ist_ultrawide(ds, cfg, tc, psize=15000, batch_size=10,
                           use_f1=True, cache_dir="data",
-                          eval_every_rounds=4, verbose=True)
+                          eval_every_rounds=eval_every,
+                          checkpoint_dir=ckpt or None, verbose=True)
 res["wall_time"] = time.time() - t0
 res["config"] = {"n_hidden": H, "n_layers": 4, "num_subnet": K,
                  "psize": 15000, "batch_size": 10, "iter_per_site": 750,
-                 "n_epochs": tc.n_epochs, "mesh": "8-device CPU"}
-out = f"results/r3_amazon_uw_fullscale_h{H}_k{K}.json"
+                 "n_epochs": tc.n_epochs, "eval_every_rounds": eval_every,
+                 "mesh": "8-device CPU"}
+out = f"results/{tag}_amazon_uw_fullscale_h{H}_k{K}.json"
 write_results(res, out)
 print(f"WROTE {out}", flush=True)

@@ -19,6 +19,7 @@ doubled input dim live in gist_tpu/ist/slicing.py.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, replace
 from typing import Optional
 
@@ -147,6 +148,20 @@ def apply_chunked_host(
     senders = np.asarray(senders, np.int64)
     receivers = np.asarray(receivers, np.int64)
     n = x.shape[0]
+    # torch backend (CPU): multithreaded sparse-CSR SpMM + GEMM — on the
+    # 4-core bench host this is ~3-4x the scipy/numpy path at h2048
+    # (the numpy GEMM/LN chain is the eval wall for ultra-wide widths).
+    # GIST_EVAL_BACKEND=numpy forces the reference path (tests compare).
+    backend = os.environ.get("GIST_EVAL_BACKEND", "auto")
+    if backend in ("auto", "torch"):
+        try:
+            import torch  # noqa: F401
+            return _apply_chunked_torch(params, senders, receivers, x,
+                                        cfg, node_chunk=node_chunk,
+                                        store_dtype=store_dtype)
+        except ImportError:
+            if backend == "torch":
+                raise
     # aggregation backend: scipy CSR (compiled, streams the edge list —
     # the numpy reduceat path moves ~E*F*itemsize of fancy-gather
     # traffic per layer and is several times slower at 125M edges)
@@ -202,6 +217,64 @@ def apply_chunked_host(
         del ah
         h = out
     return h
+
+
+def _apply_chunked_torch(params, senders, receivers, x, cfg, *,
+                         node_chunk, store_dtype):
+    """torch-CPU variant of the chunked host forward — identical math
+    (aggregate -> concat -> linear -> affine-free LN -> relu, fp32
+    compute / fp16 storage), with ATen's parallel sparse-CSR SpMM and
+    GEMM doing the heavy lifting.  Parity-tested against the numpy
+    path in tests/test_ultrawide.py."""
+    import numpy as np
+    import torch
+
+    n = x.shape[0]
+    store_t = torch.float16 if store_dtype == np.float16 else torch.float32
+    # receiver-row CSR of A (out[r] = sum_{s->r} h[s]): build via scipy
+    # (fast C coo->csr), hand the buffers to torch zero-copy
+    import scipy.sparse as sp
+    A = sp.csr_matrix(
+        (np.ones(len(senders), np.float32), (receivers, senders)),
+        shape=(n, n))
+    At = torch.sparse_csr_tensor(
+        torch.from_numpy(A.indptr.astype(np.int64)),
+        torch.from_numpy(A.indices.astype(np.int64)),
+        torch.from_numpy(A.data), size=(n, n))
+    deg = np.bincount(receivers, minlength=n)[:n].astype(np.float32)
+    inv_deg = torch.from_numpy(
+        np.where(deg > 0, 1.0 / np.maximum(deg, 1.0), 0.0))[:, None]
+
+    h = torch.from_numpy(np.asarray(x, np.float32)).to(store_t)
+    layers = params["layers"]
+    col_chunk = 512
+    with torch.no_grad():
+        for li, layer in enumerate(layers):
+            w = torch.from_numpy(np.asarray(layer["w"], np.float32))
+            b = torch.from_numpy(np.asarray(layer["b"], np.float32))
+            f = h.shape[1]
+            ah = torch.empty((n, f), dtype=torch.float32)
+            for c in range(0, f, col_chunk):
+                d = min(c + col_chunk, f)
+                ah[:, c:d] = At @ h[:, c:d].float()
+            ah *= inv_deg
+            is_last = li == len(layers) - 1
+            out = torch.empty((n, w.shape[1]),
+                              dtype=torch.float32 if is_last else store_t)
+            for i in range(0, n, node_chunk):
+                j = min(i + node_chunk, n)
+                hcat = torch.cat([h[i:j].float(), ah[i:j]], dim=1)
+                o = hcat @ w + b
+                if cfg.use_layernorm and not is_last:
+                    o -= o.mean(dim=1, keepdim=True)
+                    o /= torch.sqrt(o.var(dim=1, unbiased=False,
+                                          keepdim=True) + 1e-5)
+                if not is_last:
+                    o.clamp_(min=0.0)
+                out[i:j] = o.to(out.dtype)
+            del ah
+            h = out
+    return h.numpy()
 
 
 # ---------------------------------------------------------------------------

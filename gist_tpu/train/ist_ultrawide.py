@@ -133,6 +133,23 @@ def train_ist_ultrawide(
     total_time = 0.0
     val_accs, test_accs, losses = [], [], []
     round_wall, host_prep, device_sync = [], [], []
+    # time-to-accuracy instrumentation: which round each eval happened
+    # at, the cumulative train wall at that point (eval excluded, the
+    # reference's timing convention), and the eval's own wall; plus
+    # per-round 1-min loadavg + RSS so round-wall drift can be
+    # attributed (round-3's h1024 drift was un-diagnosed — on a 4-core
+    # host any concurrent job shows up directly in loadavg here)
+    eval_rounds, train_time_at_eval, eval_wall = [], [], []
+    loadavg_1m, rss_gb = [], []
+
+    def _sysstat():
+        try:
+            import resource
+            loadavg_1m.append(round(__import__("os").getloadavg()[0], 2))
+            rss_gb.append(round(resource.getrusage(
+                resource.RUSAGE_SELF).ru_maxrss / 2 ** 20, 2))
+        except Exception:
+            pass
     if start_round >= n_rounds:
         va, ta = evaluate(full_params)
         val_accs.append(va)
@@ -169,8 +186,13 @@ def train_ist_ultrawide(
         host_prep.append(t2 - t1)
         device_sync.append(t3 - t2)
         losses.append(float(np.mean(np.asarray(rl))))
+        _sysstat()
         if (rnd + 1) % eval_every_rounds == 0 or rnd == n_rounds - 1:
+            te0 = time.time()
             va, ta = evaluate(full_params)
+            eval_wall.append(time.time() - te0)
+            eval_rounds.append(rnd)
+            train_time_at_eval.append(total_time)
             val_accs.append(va)
             test_accs.append(ta)
             if verbose:
@@ -191,6 +213,10 @@ def train_ist_ultrawide(
         "ultra_wide": True,
         "round_wall_s": round_wall, "host_prep_s": host_prep,
         "device_sync_s": device_sync,
+        "eval_rounds": eval_rounds,
+        "train_time_at_eval": train_time_at_eval,
+        "eval_wall_s": eval_wall,
+        "loadavg_1m": loadavg_1m, "rss_gb": rss_gb,
     }
     if verbose:
         print(f"Training Time: {total_time:.4f}", flush=True)

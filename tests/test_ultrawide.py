@@ -120,3 +120,36 @@ def test_apply_chunked_host_matches_apply():
     # fp16 intermediate storage: compare argmax + loose values
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
     assert (got.argmax(-1) == want.argmax(-1)).mean() > 0.98
+
+
+def test_apply_chunked_host_torch_matches_numpy():
+    """The torch CPU fast path (multithreaded sparse SpMM + GEMM) must
+    agree with the numpy/scipy reference path — same math, different
+    BLAS; both run fp32 compute with fp16 storage."""
+    import os
+
+    import jax
+    import numpy as np
+    import pytest
+
+    pytest.importorskip("torch")
+    from gist_tpu.data import synthetic_dataset
+    from gist_tpu.models import sage
+
+    ds = synthetic_dataset("synth-tiny")
+    cfg = sage.SAGEConfig(ds.in_feats, 48, ds.n_classes, n_layers=3)
+    params_np = jax.tree.map(np.asarray,
+                             sage.init(jax.random.PRNGKey(0), cfg))
+    env = dict(os.environ)
+    try:
+        os.environ["GIST_EVAL_BACKEND"] = "numpy"
+        ref = sage.apply_chunked_host(params_np, ds.senders, ds.receivers,
+                                      ds.features, cfg)
+        os.environ["GIST_EVAL_BACKEND"] = "torch"
+        got = sage.apply_chunked_host(params_np, ds.senders, ds.receivers,
+                                      ds.features, cfg)
+    finally:
+        os.environ.clear()
+        os.environ.update(env)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+    assert (got.argmax(-1) == ref.argmax(-1)).mean() > 0.99
