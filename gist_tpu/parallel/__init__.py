@@ -10,3 +10,7 @@ exchanges only boundary ("halo") features via all_to_all over ICI.
 from gist_tpu.parallel.graph_shard import (ShardedGraph,
                                            build_sharded_graph,
                                            sharded_aggregate)
+from gist_tpu.parallel.layers import (sharded_gat_attention,
+                                      sharded_halo, sharded_mean_agg,
+                                      sharded_sum_agg,
+                                      sharded_whole_tensor_layer_norm)

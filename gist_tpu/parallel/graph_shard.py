@@ -87,6 +87,11 @@ class ShardedGraph:
     # segment-only backend (CPU tests / dry runs).
     int_dedup: Optional[DedupTiles] = None
     int_dedup_t: Optional[DedupTiles] = None
+    # (D, n_loc_pad) float32: 1.0 on real rows, 0.0 on padding — global
+    # reductions over node rows (masked loss, the GCN whole-tensor
+    # LayerNorm) must exclude padded rows.  None on graphs built before
+    # the field existed.
+    row_valid: Optional[jnp.ndarray] = None
 
     @property
     def total_rows(self) -> int:
@@ -375,9 +380,11 @@ def build_sharded_graph(senders, receivers, n_nodes: int, n_devices: int,
     out_deg = np.bincount(senders, minlength=n_nodes).astype(np.float32)
     in_deg_sh = np.zeros((D, n_loc_pad), np.float32)
     out_deg_sh = np.zeros((D, n_loc_pad), np.float32)
+    row_valid = np.zeros((D, n_loc_pad), np.float32)
     for d, p in enumerate(parts):
         in_deg_sh[d, :len(p)] = in_deg[p]
         out_deg_sh[d, :len(p)] = out_deg[p]
+        row_valid[d, :len(p)] = 1.0
 
     if interior_tiles is None:
         from gist_tpu.ops.spmm import tiles_wanted
@@ -405,7 +412,8 @@ def build_sharded_graph(senders, receivers, n_nodes: int, n_devices: int,
         n_nodes=n_nodes, n_devices=D, n_loc_pad=n_loc_pad,
         halo_pad=halo_pad, n_edges=int(senders.shape[0]),
         ideal_halo_rows=ideal_halo_rows,
-        ring_shifts=tuple(ring_shifts))
+        ring_shifts=tuple(ring_shifts),
+        row_valid=jnp.asarray(row_valid))
 
 
 def shard_features(sg: ShardedGraph, x, mesh: Mesh):
@@ -541,6 +549,13 @@ def sharded_aggregate(sg: ShardedGraph, mesh: Mesh,
     :meth:`ShardedGraph.projected_scaling` for fp32 runs (only halo
     contributions see bf16 rounding; interior edges stay exact).
     Applies to the ring layout (the default path)."""
+
+    if halo_dtype is not None and not (ring and overlapped):
+        raise ValueError(
+            "halo_dtype is implemented only by the ring+overlapped "
+            "variant (the default); the all_to_all reference paths ship "
+            "fp32 halos — pass ring=True, overlapped=True or drop "
+            "halo_dtype")
 
     if ring and overlapped:
         # also the D=1 degenerate case: no shifts, interior == all

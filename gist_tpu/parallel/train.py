@@ -1,15 +1,20 @@
 """Full-graph training with node/edge-sharded activations — one jitted
-shard_map step for the SAGE stack.
+shard_map step per model family (SAGE, GCN, GAT).
 
 Params are replicated; activations, edges, labels, and masks live
 sharded over the ``graph`` axis.  Each layer's aggregation does one
-halo all_to_all (graph_shard.py); everything else is row-parallel.
+ring halo exchange (graph_shard.py); everything else is row-parallel.
 The masked-CE loss and the parameter gradients are psum'd over the
 axis, so the update is bitwise-identical on every device.
 
 This trains graphs whose activation memory exceeds one chip — the
 scaling axis the reference lacks entirely (it replicates the full
-graph on every rank, ist_distrib.py:482-517).
+graph on every rank, ist_distrib.py:482-517).  Model math per family:
+SAGE = mean-agg + concat linear (cluster_gcn/modules.py:218-237);
+GCN = symmetric-norm GraphConv + whole-tensor LN (gcn/gcn.py:59-67,
+the LN needs global psum moments here); GAT = multi-head edge
+attention with the per-dst softmax kept local by routing cut-edge
+sender rows + scores through the halo (gcn/gat.py:39-65).
 """
 
 from __future__ import annotations
@@ -24,6 +29,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 from gist_tpu.models.layers import layer_norm
 from gist_tpu.parallel.graph_shard import (ShardedGraph, _local_agg_ring,
                                            ring_device_arrays)
+from gist_tpu.parallel.layers import (sharded_gat_attention,
+                                      sharded_sum_agg,
+                                      sharded_whole_tensor_layer_norm)
 from gist_tpu.train.common import make_optimizer
 
 
@@ -34,6 +42,9 @@ def device_arrays(sg: ShardedGraph) -> dict:
     them (the sharded SpMM then runs on the kernel, VERDICT r2 weak #1)."""
     dev = ring_device_arrays(sg)
     dev["in_deg"] = sg.in_degrees
+    dev["out_deg"] = sg.out_degrees
+    if sg.row_valid is not None:
+        dev["row_valid"] = sg.row_valid
     return dev
 
 
@@ -61,27 +72,120 @@ def sharded_sage_forward(sg: ShardedGraph, params: dict, x_loc, dev,
     return h
 
 
-def build_sharded_sage_step(sg: ShardedGraph, mesh: Mesh, *,
-                            lr: float, weight_decay: float,
-                            use_layernorm: bool = True,
-                            halo_dtype=None):
-    """Returns (init_opt_state, jitted step):
+def sharded_gcn_forward(sg: ShardedGraph, params: dict, x_loc, dev,
+                        *, use_layernorm: bool = True,
+                        dropout: float = 0.0, dropout_key=None,
+                        halo_dtype=None):
+    """Per-device GCN stack forward (gcn/gcn.py:59-67 ordering):
+    dropout before every layer except the first, symmetric-norm
+    GraphConv (deg^-1/2 both sides — messages are scaled by the
+    sender's out-degree norm BEFORE the halo exchange, so the cut-edge
+    rows arrive already normed and no extra wire term appears), ReLU
+    inside every layer except the last, whole-tensor LayerNorm (global
+    psum moments, padded rows masked) after every layer except the
+    last."""
+    src_norm = jnp.where(dev["out_deg"] > 0,
+                         jax.lax.rsqrt(jnp.maximum(dev["out_deg"], 1.0)),
+                         0.0)[:, None]
+    dst_norm = jnp.where(dev["in_deg"] > 0,
+                         jax.lax.rsqrt(jnp.maximum(dev["in_deg"], 1.0)),
+                         0.0)[:, None]
+    h = x_loc
+    layers = params["layers"]
+    n = len(layers)
+    for i, layer in enumerate(layers):
+        if i != 0 and dropout > 0 and dropout_key is not None:
+            dropout_key, dk = jax.random.split(dropout_key)
+            # per-device streams: fold in the device's mesh position
+            dk = jax.random.fold_in(dk, jax.lax.axis_index("graph"))
+            keep = jax.random.bernoulli(dk, 1.0 - dropout, h.shape)
+            h = jnp.where(keep, h / (1.0 - dropout), 0.0)
+        w, b = layer["w"], layer["b"]
+        if w.shape[0] > w.shape[1]:      # project first (fewer FLOPs)
+            h = sharded_sum_agg(sg, (h @ w) * src_norm, dev,
+                                halo_dtype) * dst_norm
+        else:
+            h = sharded_sum_agg(sg, h * src_norm, dev,
+                                halo_dtype) * dst_norm
+            h = h @ w
+        h = h + b
+        is_last = i == n - 1
+        if not is_last:
+            h = jax.nn.relu(h)
+            if use_layernorm:
+                h = sharded_whole_tensor_layer_norm(h, dev["row_valid"])
+    return h
+
+
+def sharded_gat_forward(sg: ShardedGraph, params: dict, x_loc, dev,
+                        *, negative_slope: float = 0.01,
+                        halo_dtype=None):
+    """Per-device multi-head GAT forward (models/gat.py semantics: mean
+    over heads, ELU after every layer including the last).  Each
+    layer's halo ships [z || src-score] rows once; the per-dst softmax
+    is local because edges live with their receiver (parallel/layers.py
+    docstring)."""
+    h = x_loc
+    for layer in params["layers"]:
+        w, attn = layer["w"], layer["attn"]
+        d_out = w.shape[2]
+        z = jnp.einsum("nf,hfo->nho", h, w)
+        src_s = jnp.einsum("nho,ho->nh", z, attn[:, :d_out])
+        dst_s = jnp.einsum("nho,ho->nh", z, attn[:, d_out:])
+        out = sharded_gat_attention(sg, z, src_s, dst_s, dev,
+                                    negative_slope=negative_slope,
+                                    halo_dtype=halo_dtype)
+        h = jax.nn.elu(jnp.mean(out, axis=1))
+    return h
+
+
+def _forward(kind, sg, params, x_loc, dev, *, use_layernorm, halo_dtype,
+             dropout=0.0, dropout_key=None):
+    if kind == "sage":
+        return sharded_sage_forward(sg, params, x_loc, dev,
+                                    use_layernorm=use_layernorm,
+                                    halo_dtype=halo_dtype)
+    if kind == "gcn":
+        return sharded_gcn_forward(sg, params, x_loc, dev,
+                                   use_layernorm=use_layernorm,
+                                   dropout=dropout,
+                                   dropout_key=dropout_key,
+                                   halo_dtype=halo_dtype)
+    if kind == "gat":
+        return sharded_gat_forward(sg, params, x_loc, dev,
+                                   halo_dtype=halo_dtype)
+    raise ValueError(f"unknown sharded model kind {kind!r}")
+
+
+def build_sharded_step(sg: ShardedGraph, mesh: Mesh, *,
+                       kind: str = "sage",
+                       lr: float, weight_decay: float,
+                       use_layernorm: bool = True,
+                       halo_dtype=None, dropout: float = 0.0):
+    """Returns (init_opt_state, jitted step) for a sharded full-graph
+    training step of the given model family ("sage" | "gcn" | "gat"):
     ``params, opt_state, loss = step(params, opt_state, x_sh, labels_sh,
-    mask_sh)``, with x/labels/mask sharded (D*n_loc_pad leading dim)."""
+    mask_sh[, dropout_key])``, with x/labels/mask sharded
+    (D*n_loc_pad leading dim).  ``dropout_key`` is accepted (and
+    required) only when ``dropout > 0`` (GCN only)."""
     opt = make_optimizer(lr, weight_decay)
+    use_dropout = dropout > 0 and kind == "gcn"
+
+    key_spec = (P(),) if use_dropout else ()
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(), P("graph", None), P("graph"), P("graph"),
-                       P("graph")),
+                       P("graph")) + key_spec,
              out_specs=(P(), P()),
              check_vma=False)
-    def grad_local(params, x_loc, labels_loc, mask_loc, dev):
+    def grad_local(params, x_loc, labels_loc, mask_loc, dev, *key):
         dev = jax.tree.map(lambda a: a[0], dev)
 
         def loss_fn(p):
-            logits = sharded_sage_forward(
-                sg, p, x_loc, dev, use_layernorm=use_layernorm,
-                halo_dtype=halo_dtype)
+            logits = _forward(kind, sg, p, x_loc, dev,
+                              use_layernorm=use_layernorm,
+                              halo_dtype=halo_dtype, dropout=dropout,
+                              dropout_key=key[0] if key else None)
             logp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(logp, labels_loc[:, None],
                                        axis=-1)[:, 0]
@@ -97,22 +201,40 @@ def build_sharded_sage_step(sg: ShardedGraph, mesh: Mesh, *,
     # dev enters the jit as a runtime argument — closure capture would
     # embed the tile layouts as HLO literals and break remote compiles
     @jax.jit
-    def jit_step(params, opt_state, x_sh, labels_sh, mask_sh, dev):
-        grads, loss = grad_local(params, x_sh, labels_sh, mask_sh, dev)
+    def jit_step(params, opt_state, x_sh, labels_sh, mask_sh, dev, *key):
+        grads, loss = grad_local(params, x_sh, labels_sh, mask_sh, dev,
+                                 *key)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    def step(params, opt_state, x_sh, labels_sh, mask_sh):
+    def step(params, opt_state, x_sh, labels_sh, mask_sh, *key):
+        if use_dropout and not key:
+            raise TypeError("dropout > 0: step needs a dropout_key arg")
         return jit_step(params, opt_state, x_sh, labels_sh, mask_sh,
-                        device_arrays(sg))
+                        device_arrays(sg), *(key if use_dropout else ()))
 
     return opt.init, step
 
 
-def build_sharded_sage_infer(sg: ShardedGraph, mesh: Mesh, *,
-                             use_layernorm: bool = True):
-    """Jitted sharded inference: logits over all (padded) rows."""
+def build_sharded_sage_step(sg: ShardedGraph, mesh: Mesh, *,
+                            lr: float, weight_decay: float,
+                            use_layernorm: bool = True,
+                            halo_dtype=None):
+    """Back-compat wrapper: :func:`build_sharded_step` with kind="sage"."""
+    return build_sharded_step(sg, mesh, kind="sage", lr=lr,
+                              weight_decay=weight_decay,
+                              use_layernorm=use_layernorm,
+                              halo_dtype=halo_dtype)
+
+
+def build_sharded_infer(sg: ShardedGraph, mesh: Mesh, *,
+                        kind: str = "sage",
+                        use_layernorm: bool = True, halo_dtype=None):
+    """Jitted sharded inference: logits over all (padded) rows.
+    ``halo_dtype`` matches the training forward so eval runs the SAME
+    numerics that were trained (ADVICE r3: the old sage-only infer
+    silently used fp32 halos under a bf16-halo trainer)."""
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(), P("graph", None), P("graph")),
@@ -120,8 +242,9 @@ def build_sharded_sage_infer(sg: ShardedGraph, mesh: Mesh, *,
              check_vma=False)
     def fwd(params, x_loc, dev):
         dev = jax.tree.map(lambda a: a[0], dev)
-        return sharded_sage_forward(sg, params, x_loc, dev,
-                                    use_layernorm=use_layernorm)
+        return _forward(kind, sg, params, x_loc, dev,
+                        use_layernorm=use_layernorm,
+                        halo_dtype=halo_dtype)
 
     jit_fwd = jax.jit(fwd)
 
@@ -129,3 +252,12 @@ def build_sharded_sage_infer(sg: ShardedGraph, mesh: Mesh, *,
         return jit_fwd(params, x_sh, device_arrays(sg))
 
     return run
+
+
+def build_sharded_sage_infer(sg: ShardedGraph, mesh: Mesh, *,
+                             use_layernorm: bool = True,
+                             halo_dtype=None):
+    """Back-compat wrapper: :func:`build_sharded_infer` with kind="sage"."""
+    return build_sharded_infer(sg, mesh, kind="sage",
+                               use_layernorm=use_layernorm,
+                               halo_dtype=halo_dtype)
