@@ -79,10 +79,6 @@ def main():
     print(f"dataset {time.time()-t0:.0f}s N={ds.n_nodes} E={E} F={F}",
           flush=True)
 
-    t0 = time.time()
-    seg_g = graph_from_edges(ds.senders, ds.receivers, ds.n_nodes)
-    print(f"graph {time.time()-t0:.0f}s", flush=True)
-
     ver = "v2" if threshold == 0 else f"v3t{threshold}"
     if cu != 1024:
         ver += f"u{cu}"
@@ -124,6 +120,7 @@ def main():
     gathered = int(np.asarray(dc.u_senders).size)
     direct_jobs = 0 if dc.is_dir is None else int(np.asarray(dc.is_dir).sum())
     dc = dc.to_device()  # numpy leaves would re-transfer W per jit call
+    n_chunks = dc.n_chunks
     print(f"{ver} layout {time.time()-t0:.0f}s: chunks={dc.n_chunks} "
           f"jobs_pad={dc.w_blocks.shape[1]} W={w_gib:.2f} GiB "
           f"max_jobs={dc.max_jobs} gathered_rows={gathered / 1e6:.1f}M "
@@ -138,22 +135,42 @@ def main():
                   t_receivers=dummy, t_indptr=dummy_ptr,
                   n_nodes=ds.n_nodes, n_edges=E, dedup_c=dc)
 
-    # correctness once, then timing
+    # Memory discipline at W >= 8 GiB (the v3 split layouts): the
+    # pallas phase (W + x + out) and the segment phase (COO + x + out)
+    # must NOT coexist in 16 GB HBM, and neither can a full 1 GB
+    # got/want pair plus compare temps.  So: pallas correctness sample
+    # (strided rows to host) -> pallas timing -> drop the layout ->
+    # build the segment graph -> segment sample + timing -> compare on
+    # host.  Full-rank parity is interpret-tested in CI
+    # (tests/test_pallas_spmm.py); the on-chip check here is a 50k-row
+    # sample.
+    stride = max(ds.n_nodes // 50_000, 1)
     t0 = time.time()
     got = jax.jit(spmm_pallas_csr)(pal_g, x)
-    got.block_until_ready()
-    print(f"pallas first call {time.time()-t0:.0f}s", flush=True)
-    t0 = time.time()
-    want = jax.jit(spmm_segment_chunked)(seg_g, x)
-    want.block_until_ready()
-    print(f"segment first call {time.time()-t0:.0f}s", flush=True)
-    err = float(jnp.max(jnp.abs(got - want)) / jnp.max(jnp.abs(want)))
-    print(f"rel err {err:.2e}", flush=True)
-    del got, want
+    got_sample = np.asarray(got[::stride])       # forces execution
+    print(f"pallas first call+sample {time.time()-t0:.0f}s", flush=True)
+    del got
 
     pal_s = loop_time(spmm_pallas_csr, pal_g, x, iters=10)
     print(f"pallas chunked: {pal_s*1e3:.1f} ms -> {E/pal_s/1e6:.0f}M "
           f"edges/s", flush=True)
+    del pal_g, dc
+    import gc
+    gc.collect()
+
+    t0 = time.time()
+    seg_g = graph_from_edges(ds.senders, ds.receivers, ds.n_nodes)
+    print(f"graph {time.time()-t0:.0f}s", flush=True)
+    t0 = time.time()
+    want = jax.jit(spmm_segment_chunked)(seg_g, x)
+    want_sample = np.asarray(want[::stride])
+    print(f"segment first call+sample {time.time()-t0:.0f}s", flush=True)
+    del want
+    err = float(np.max(np.abs(got_sample - want_sample))
+                / max(np.max(np.abs(want_sample)), 1e-20))
+    print(f"rel err (sampled {len(got_sample)} rows) {err:.2e}",
+          flush=True)
+
     seg_s = loop_time(spmm_segment_chunked, seg_g, x, iters=3)
     print(f"segment chunked: {seg_s*1e3:.1f} ms -> {E/seg_s/1e6:.0f}M "
           f"edges/s", flush=True)
@@ -163,7 +180,7 @@ def main():
     out = {
         "dataset": "synth-amazon2m", "n_nodes": ds.n_nodes, "n_edges": E,
         "f": F, "layout": ver, "threshold": threshold, "cu": cu,
-        "n_chunks": dc.n_chunks, "w_gib": w_gib,
+        "n_chunks": n_chunks, "w_gib": w_gib,
         "gathered_rows": gathered, "direct_jobs": direct_jobs,
         "hardware": hardware_tag(),
         "rel_err_vs_segment": err,
