@@ -5,6 +5,9 @@
 # command; lines may be appended/edited while the queue runs (the file
 # is re-read before every job).  Logs -> runs/logs/job_<i>.log
 cd /root/repo
+# `python benchmarks/foo.py` puts benchmarks/ (not the repo root) on
+# sys.path — every bare-script job needs the root importable.
+export PYTHONPATH=/root/repo
 Q=runs/r4_queue.txt
 i=0
 while true; do
