@@ -42,9 +42,8 @@ def main(argv=None):
                    help="model compute dtype")
     args = p.parse_args(argv)
     apply_backend(args)
-    assert args.n_hidden % args.num_subnet == 0, (
-        f"--n-hidden ({args.n_hidden}) must be divisible by "
-        f"--num_subnet ({args.num_subnet})")
+    # non-divisible --n-hidden pads subnets to ceil width with
+    # virtual units (ist/partition.py VIRTUAL_IDX)
 
     ds = load_dataset(args.dataset, args.data_root)
     print(ds.summary())

@@ -30,9 +30,8 @@ def main(argv=None):
     apply_backend(args)
 
     assert str2bool(args.use_ist), "Should train with IST (train_ist.py:289)"
-    assert args.n_hidden % args.num_subnet == 0, (
-        f"--n-hidden ({args.n_hidden}) must be divisible by "
-        f"--num_subnet ({args.num_subnet})")
+    # non-divisible --n-hidden is fine: partitions pad to ceil width
+    # with virtual units (ist/partition.py VIRTUAL_IDX)
 
     ds = load_dataset(args.dataset, args.data_root,
                       self_loop=str2bool(args.self_loop))
@@ -40,8 +39,8 @@ def main(argv=None):
         # densify + make divisible by num_subnet (train_ist.py:71-84)
         n_comp = (ds.in_feats // args.num_subnet) * args.num_subnet
         ds.random_projection(n_comp, seed=args.rnd_seed)
-    elif str2bool(args.split_input):
-        assert ds.in_feats % args.num_subnet == 0
+    # split_input with non-divisible in_feats also rides the virtual
+    # padding; random_projection keeps the reference's divisible target
     print(ds.summary())
 
     cfg = gcn.GCNConfig(

@@ -17,12 +17,30 @@ import jax
 import jax.numpy as jnp
 
 
+# Padding id for non-divisible partitions.  Gathers translate it to a
+# zero fill (jnp.take mode="fill"), scatters drop it (JAX's default
+# out-of-bounds scatter mode) — so the index arrays stay rectangular
+# (SPMD-uniform sub-model shapes) while covering any dim.  Large enough
+# that the SAGE doubled index (idx + in_dim) stays out of bounds too.
+VIRTUAL_IDX = 1 << 30
+
+
 def sample_partition(key: jax.Array, dim: int, num_subnet: int) -> jnp.ndarray:
-    """(num_subnet, dim // num_subnet) int32 — row s is subnet s's
-    disjoint index set.  Rows cover range(dim) exactly."""
-    assert dim % num_subnet == 0, (dim, num_subnet)
-    perm = jax.random.permutation(key, dim)
-    return perm.reshape(num_subnet, dim // num_subnet).astype(jnp.int32)
+    """(num_subnet, ceil(dim / num_subnet)) int32 — row s is subnet s's
+    disjoint index set; together the rows cover range(dim) exactly.
+
+    Non-divisible dims (the reference's ``torch.chunk`` tolerates
+    unequal chunks, gcn/train_ist.py:150-166) pad to equal width with
+    ``VIRTUAL_IDX`` entries: every sub-model keeps the same static
+    shape (a hard SPMD requirement the torch version doesn't have), the
+    virtual units read zero weights at dispatch and their updates are
+    dropped at merge.  Divisible dims reproduce the historical
+    partition bit-for-bit."""
+    c = -(-dim // num_subnet)
+    perm = jax.random.permutation(key, num_subnet * c)
+    if num_subnet * c != dim:
+        perm = jnp.where(perm < dim, perm, VIRTUAL_IDX)
+    return perm.reshape(num_subnet, c).astype(jnp.int32)
 
 
 def boundary_sizes(in_feats: int, n_hidden: int, n_layers: int,

@@ -45,12 +45,18 @@ def _full_idx(idx: jnp.ndarray, half: int) -> jnp.ndarray:
     return jnp.concatenate([idx, idx + half])
 
 
+# mode="fill"/0: VIRTUAL_IDX padding entries of non-divisible
+# partitions read zero rows/cols (jnp.take's default OOB fill is NaN);
+# the matching merge scatters drop them (JAX's default scatter mode)
+
 def _take_rows(w, idx):
-    return w if idx is None else jnp.take(w, idx, axis=0)
+    return w if idx is None else jnp.take(w, idx, axis=0, mode="fill",
+                                          fill_value=0)
 
 
 def _take_cols(w, idx):
-    return w if idx is None else jnp.take(w, idx, axis=1)
+    return w if idx is None else jnp.take(w, idx, axis=1, mode="fill",
+                                          fill_value=0)
 
 
 def _sub(b: Optional[jnp.ndarray], s) -> Optional[jnp.ndarray]:
@@ -75,23 +81,26 @@ def dispatch(params: dict, boundaries: Boundaries, s, kind: str = "gcn") -> dict
         b_out = _sub(boundaries[i + 1], s) if i + 1 < len(boundaries) else None
         if kind == "gcn":
             w = _take_cols(_take_rows(layer["w"], b_in), b_out)
-            b = layer["b"] if b_out is None else jnp.take(layer["b"], b_out)
+            b = (layer["b"] if b_out is None else
+                 jnp.take(layer["b"], b_out, mode="fill", fill_value=0))
             out_layers.append({"w": w, "b": b})
         elif kind == "sage":
             half = layer["w"].shape[0] // 2
             rows = None if b_in is None else _full_idx(b_in, half)
             w = _take_cols(_take_rows(layer["w"], rows), b_out)
-            b = layer["b"] if b_out is None else jnp.take(layer["b"], b_out)
+            b = (layer["b"] if b_out is None else
+                 jnp.take(layer["b"], b_out, mode="fill", fill_value=0))
             out_layers.append({"w": w, "b": b})
         elif kind == "gat":
             w = layer["w"]          # (H, in, out)
             attn = layer["attn"]    # (H, 2*out)
             if b_in is not None:
-                w = jnp.take(w, b_in, axis=1)
+                w = jnp.take(w, b_in, axis=1, mode="fill", fill_value=0)
             if b_out is not None:
-                w = jnp.take(w, b_out, axis=2)
+                w = jnp.take(w, b_out, axis=2, mode="fill", fill_value=0)
                 half = attn.shape[1] // 2
-                attn = jnp.take(attn, _full_idx(b_out, half), axis=1)
+                attn = jnp.take(attn, _full_idx(b_out, half), axis=1,
+                                mode="fill", fill_value=0)
             out_layers.append({"w": w, "attn": attn})
         else:
             raise ValueError(kind)

@@ -40,19 +40,41 @@ Boundaries = list  # per boundary: np.ndarray (K, chunk) or None
 # Host-side (numpy) partition sampling / slicing / merging
 # ---------------------------------------------------------------------------
 
+from gist_tpu.ist.partition import VIRTUAL_IDX
+
+
 def sample_boundaries_host(rng: np.random.Generator, sizes, num_subnet):
+    """Non-divisible sizes pad to equal ceil width with VIRTUAL_IDX
+    entries (zero rows at dispatch, dropped at merge) — the host-numpy
+    mirror of ist.partition.sample_partition."""
     out = []
     for size in sizes:
         if size is None:
             out.append(None)
         else:
-            perm = rng.permutation(size).astype(np.int64)
-            out.append(perm.reshape(num_subnet, size // num_subnet))
+            c = -(-size // num_subnet)
+            perm = rng.permutation(num_subnet * c).astype(np.int64)
+            if num_subnet * c != size:
+                perm = np.where(perm < size, perm, VIRTUAL_IDX)
+            out.append(perm.reshape(num_subnet, c))
     return out
 
 
 def _full_idx_np(idx, half):
     return np.concatenate([idx, idx + half])
+
+
+def _gather_np(a, idx, axis):
+    """np.take with VIRTUAL_IDX entries reading zero (numpy has no
+    fill mode and would raise on the out-of-range padding ids)."""
+    n = a.shape[axis]
+    valid = idx < n
+    out = np.take(a, np.minimum(idx, n - 1), axis=axis)
+    if not valid.all():
+        sl = [slice(None)] * a.ndim
+        sl[axis] = ~valid
+        out[tuple(sl)] = 0
+    return out
 
 
 def dispatch_host(params: dict, bnds: Boundaries, num_subnet: int,
@@ -69,20 +91,22 @@ def dispatch_host(params: dict, bnds: Boundaries, num_subnet: int,
                 if b_in is not None:
                     rows = (_full_idx_np(b_in[s], w.shape[0] // 2)
                             if kind == "sage" else b_in[s])
-                    w = w[rows, :]
+                    w = _gather_np(w, rows, axis=0)
                 if b_out is not None:
-                    w = w[:, b_out[s]]
+                    w = _gather_np(w, b_out[s], axis=1)
                 ws.append(w)
                 b = layer["b"]
-                bs.append(b[b_out[s]] if b_out is not None else b)
+                bs.append(_gather_np(b, b_out[s], axis=0)
+                          if b_out is not None else b)
             elif kind == "gat":
                 w, attn = layer["w"], layer["attn"]
                 if b_in is not None:
-                    w = w[:, b_in[s], :]
+                    w = _gather_np(w, b_in[s], axis=1)
                 if b_out is not None:
-                    w = w[:, :, b_out[s]]
-                    attn = attn[:, _full_idx_np(b_out[s],
-                                                attn.shape[1] // 2)]
+                    w = _gather_np(w, b_out[s], axis=2)
+                    attn = _gather_np(
+                        attn, _full_idx_np(b_out[s], attn.shape[1] // 2),
+                        axis=1)
                 ws.append(w)
                 attns.append(attn)
             else:
@@ -110,35 +134,45 @@ def merge_host(params: dict, bnds: Boundaries, stacked: dict,
                     rows = None if b_in is None else (
                         _full_idx_np(b_in[s], w.shape[0] // 2)
                         if kind == "sage" else b_in[s])
+                    # vr/vc drop VIRTUAL_IDX padding (non-divisible dims)
+                    vr = None if rows is None else rows < w.shape[0]
+                    vc = None if b_out is None else b_out[s] < w.shape[1]
                     if rows is not None and b_out is not None:
-                        w[np.ix_(rows, b_out[s])] = sub["w"][s]
+                        w[np.ix_(rows[vr], b_out[s][vc])] = \
+                            sub["w"][s][np.ix_(vr, vc)]
                     elif rows is not None:
-                        w[rows, :] = sub["w"][s]
+                        w[rows[vr], :] = sub["w"][s][vr]
                     else:
-                        w[:, b_out[s]] = sub["w"][s]
+                        w[:, b_out[s][vc]] = sub["w"][s][:, vc]
             if b_out is None:
                 b[...] = sub["b"].mean(axis=0)
             else:
                 for s in range(num_subnet):
-                    b[b_out[s]] = sub["b"][s]
+                    vc = b_out[s] < b.shape[0]
+                    b[b_out[s][vc]] = sub["b"][s][vc]
         elif kind == "gat":
             w, attn = layer["w"], layer["attn"]
             if b_in is None and b_out is None:
                 w[...] = sub["w"].mean(axis=0)
             else:
                 for s in range(num_subnet):
+                    vr = None if b_in is None else b_in[s] < w.shape[1]
+                    vc = None if b_out is None else b_out[s] < w.shape[2]
                     if b_in is not None and b_out is not None:
-                        w[:, b_in[s][:, None], b_out[s][None, :]] = sub["w"][s]
+                        w[:, b_in[s][vr][:, None], b_out[s][vc][None, :]] = \
+                            sub["w"][s][:, vr][:, :, vc]
                     elif b_in is not None:
-                        w[:, b_in[s], :] = sub["w"][s]
+                        w[:, b_in[s][vr], :] = sub["w"][s][:, vr]
                     else:
-                        w[:, :, b_out[s]] = sub["w"][s]
+                        w[:, :, b_out[s][vc]] = sub["w"][s][:, :, vc]
             if b_out is None:
                 attn[...] = sub["attn"].mean(axis=0)
             else:
                 half = attn.shape[1] // 2
                 for s in range(num_subnet):
-                    attn[:, _full_idx_np(b_out[s], half)] = sub["attn"][s]
+                    fi = _full_idx_np(b_out[s], half)
+                    vi = fi < attn.shape[1]
+                    attn[:, fi[vi]] = sub["attn"][s][:, vi]
         else:
             raise ValueError(kind)
     return params

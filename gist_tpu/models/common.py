@@ -28,10 +28,12 @@ def ist_layer_dims(
     weight layers.  With ``num_subnet == 1`` and no splits this is the
     full-width model.
     """
-    assert n_hidden % num_subnet == 0, (n_hidden, num_subnet)
-    sub_h = n_hidden // num_subnet
+    # ceil: non-divisible widths get equal ceil(dim/K)-wide sub-layers
+    # whose trailing units are virtual (ist/partition.py VIRTUAL_IDX) —
+    # zero at dispatch, dropped at merge.  Divisible widths unchanged.
+    sub_h = -(-n_hidden // num_subnet)
     dims: List[Tuple[int, int]] = []
-    first_in = in_feats // num_subnet if split_input else in_feats
+    first_in = -(-in_feats // num_subnet) if split_input else in_feats
     if n_layers <= 1 and not split_output:
         dims.append((first_in, n_hidden))
     else:

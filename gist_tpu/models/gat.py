@@ -52,7 +52,8 @@ class GATConfig:
         """[(in, out, heads)] per layer: first in->hidden (H heads),
         middles hidden->hidden (H heads), last hidden->classes (1 head)
         (gat.py:80-91)."""
-        hid = self.n_hidden // self.num_subnet
+        hid = -(-self.n_hidden // self.num_subnet)  # ceil: see
+        # models/common.ist_layer_dims on non-divisible widths
         shapes = [(self.in_feats, hid, self.n_heads)]
         for _ in range(self.n_layers - 2):
             shapes.append((hid, hid, self.n_heads))

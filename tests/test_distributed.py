@@ -95,3 +95,19 @@ def test_distributed_round_matches_single_device_semantics():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6),
         got, want)
+
+
+def test_distributed_ist_non_divisible_width():
+    """K=3 over hidden=16 (non-divisible): subnets run at ceil width 6
+    with virtual units, the shard_map round trains and merges cleanly
+    (the reference's torch.chunk tolerance, gcn/train_ist.py:150-166,
+    carried to the SPMD engine via VIRTUAL_IDX padding)."""
+    ds = synthetic_dataset("synth-tiny")
+    cfg = gcn.GCNConfig(ds.in_feats, 16, ds.n_classes, n_layers=2,
+                        dropout=0.0)
+    tc = TrainConfig(lr=1e-2, weight_decay=5e-4, n_epochs=12, num_subnet=3,
+                     iter_per_site=4, split_output=True)
+    res = run_distributed_ist(ds, cfg, tc, model=gcn, kind="gcn",
+                              verbose=False)
+    assert res["best_val_acc"] > 0.4, res
+    assert np.isfinite(res["val_accs"]).all()

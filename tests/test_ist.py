@@ -146,3 +146,68 @@ def test_sub_model_forward_with_dispatched_params(rng):
         out = sage.apply(sub, g, x, sub_cfg)
         assert out.shape == (20, ncls)
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_non_divisible_partition_disjoint_cover():
+    """dim % K != 0: rows are ceil(dim/K) wide, real ids cover
+    range(dim) exactly once, padding entries are VIRTUAL_IDX."""
+    from gist_tpu.ist.partition import VIRTUAL_IDX, sample_partition
+
+    part = np.asarray(sample_partition(jax.random.PRNGKey(0), 10, 3))
+    assert part.shape == (3, 4)
+    real = part[part < 10]
+    assert sorted(real.tolist()) == list(range(10))
+    assert (part[part >= 10] == VIRTUAL_IDX).all()
+    assert (part >= 10).sum() == 2
+
+
+def test_non_divisible_dispatch_merge_identity():
+    """dispatch_all then merge over non-divisible widths reproduces the
+    full params exactly for sage and gat (virtual units read zeros and
+    their updates are dropped)."""
+    import jax.numpy as jnp
+
+    from gist_tpu.models import gat as gat_m, sage as sage_m
+
+    K = 3
+    scfg = sage_m.SAGEConfig(11, 20, 5, n_layers=2)
+    params = sage_m.init(jax.random.PRNGKey(1), scfg)
+    sizes = boundary_sizes(11, 20, 2, split_input=False, split_output=True)
+    bnds = sample_boundaries(jax.random.PRNGKey(2), sizes, K)
+    sub = dispatch_all(params, bnds, K, kind="sage")
+    assert sub["layers"][1]["w"].shape == (K, 2 * 7, 7)  # ceil(20/3)=7
+    merged = merge(params, bnds, sub, K, kind="sage")
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b)), merged, params)
+
+    gcfg = gat_m.GATConfig(11, 20, 5, n_layers=2, n_heads=2)
+    gparams = gat_m.init(jax.random.PRNGKey(3), gcfg)
+    gsizes = [None, 20, None]
+    gbnds = sample_boundaries(jax.random.PRNGKey(4), gsizes, K)
+    gsub = dispatch_all(gparams, gbnds, K, kind="gat")
+    gmerged = merge(gparams, gbnds, gsub, K, kind="gat")
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b)), gmerged, gparams)
+
+
+def test_non_divisible_host_dispatch_merge_identity():
+    """The ultra-wide host-numpy dispatch/merge honors the same
+    virtual-padding contract."""
+    from gist_tpu.ist.ultrawide import (dispatch_host, merge_host,
+                                        sample_boundaries_host)
+    from gist_tpu.models import sage as sage_m
+
+    K = 3
+    scfg = sage_m.SAGEConfig(11, 20, 5, n_layers=2)
+    params = jax.tree.map(
+        lambda a: np.array(a, copy=True),
+        sage_m.init(jax.random.PRNGKey(5), scfg))
+    ref = jax.tree.map(np.copy, params)
+    sizes = boundary_sizes(11, 20, 2, split_input=False, split_output=True)
+    rng = np.random.default_rng(0)
+    bnds = sample_boundaries_host(rng, sizes, K)
+    assert bnds[1].shape == (K, 7)
+    sub = dispatch_host(params, bnds, K, kind="sage")
+    merged = merge_host(params, bnds, sub, K, kind="sage")
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b),
+                 merged, ref)
