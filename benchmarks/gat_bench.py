@@ -87,6 +87,15 @@ def main(argv=None):
     p.add_argument("--edges", type=int, default=80000)
     p.add_argument("--dim", type=int, default=128)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--dataset", type=str, default=None,
+                   help="use a synthetic dataset's graph instead of the "
+                        "uniform-random one (cluster ordering gives the "
+                        "dedup layout its ~0.35 unique-row ratio; "
+                        "uniform-random graphs have no locality)")
+    p.add_argument("--layout", type=str, default="gather",
+                   choices=["gather", "dedup"],
+                   help="tile layout for the pallas rows "
+                        "(dedup = the round-4 unique-sender kernel)")
     p.add_argument("--train-step", action="store_true",
                    help="benchmark a full GAT train step (fwd+bwd+Adam) "
                         "fused-bwd vs xla-bwd vs pure-xla")
@@ -96,13 +105,28 @@ def main(argv=None):
     import jax.numpy as jnp
 
     import gist_tpu.graph as G
-    from gist_tpu.ops.pallas_gat import _xla_reference, gat_attention_pallas
+    from gist_tpu.ops.pallas_gat import (_xla_reference,
+                                         gat_attention_dedup,
+                                         gat_attention_pallas)
 
     rng = np.random.default_rng(0)
-    n, e, d = args.nodes, args.edges, args.dim
-    s = rng.integers(0, n, e)
-    r = rng.integers(0, n, e)
-    g = G.graph_from_edges(s, r, n, tiles=True, tile_mode="gather")
+    d = args.dim
+    if args.dataset:
+        from gist_tpu.data import synthetic_dataset
+        ds = synthetic_dataset(args.dataset)
+        s, r, n = ds.senders, ds.receivers, ds.n_nodes
+        e = len(s)
+    else:
+        n, e = args.nodes, args.edges
+        s = rng.integers(0, n, e)
+        r = rng.integers(0, n, e)
+    g = G.graph_from_edges(s, r, n, tiles=True, tile_mode=args.layout)
+    if args.layout == "dedup":
+        assert g.dedup is not None, "dedup layout failed to build"
+        uniq = int(np.asarray(g.dedup.u_senders).size)
+        print(json.dumps({"layout": "dedup", "N": n, "E": e,
+                          "unique_slots": uniq,
+                          "dedup_ratio": round(uniq / e, 3)}), flush=True)
     z = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
     a = jnp.asarray(rng.standard_normal(n).astype(np.float32))
     b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
@@ -111,8 +135,11 @@ def main(argv=None):
         train_step_bench(g, n, d, args.iters)
         return
 
+    kernel = gat_attention_dedup if args.layout == "dedup" \
+        else gat_attention_pallas
     for name, fn in [
-        ("pallas", jax.jit(lambda: gat_attention_pallas(g, z, a, b, 0.01))),
+        (f"pallas-{args.layout}",
+         jax.jit(lambda: kernel(g, z, a, b, 0.01))),
         ("xla", jax.jit(lambda: _xla_reference(g, z, a, b, 0.01))),
     ]:
         fn().block_until_ready()

@@ -520,3 +520,564 @@ def _gat_backward_fused(graph, z, src_score, dst_score, out, m, l, g,
     dsrc = dsrc128[:n, 0]
     return None, dz, dsrc.astype(src_score.dtype), \
         ddst.astype(dst_score.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Dedup-layout fused attention (round 4)
+#
+# The v1 kernel above reads one gathered message row PER EDGE plus a
+# precomputed per-edge score array.  GAT scores are rank-1 in the node
+# scores (e(r,u) = lrelu(src[u] + dst[r])), so on the block-dense dedup
+# layout (gist_tpu.graph.DedupTiles — each dst tile lists its unique
+# senders once, adjacency as int8 count blocks) NO per-edge data is
+# needed at all: per job the kernel rebuilds the (TN, CU) score block
+# from a gathered unique-sender score lane vector and the tile's dst
+# score column, masks it with the count block (counts multiply the
+# probabilities — parallel edges share a score), and runs the same
+# online softmax as v1 with the matmul over |unique| rows instead of E
+# rows.  HBM traffic drops to ~d = |unique|/E of the v1 message
+# traffic (the same ~0.35 factor that makes the dedup SpMM 6x).
+#
+# The dst column trick: a (1, 128) lane vector can't broadcast over
+# sublanes directly; one masked NT matmul against an iota identity
+# (hi/lo split for fp32 exactness) recovers the (TN, 1) column on the
+# MXU — done once per tile at c == 0 into scratch.
+# ---------------------------------------------------------------------------
+
+
+def _gat_dedup_kernel(job_offsets_ref,  # SMEM (num_tiles+1,) prefetch
+                      dst_ref,          # VMEM (1, 1, 128) dst scores (tile i)
+                      w_ref,            # VMEM (1, TN, CU) int8 count block
+                      usc_ref,          # VMEM (1, 1, CU) unique src scores
+                      u_ref,            # VMEM (CU, D) unique z rows
+                      out_ref,          # VMEM (TN, D) revisited per tile
+                      m_out_ref,        # VMEM (TN, 128) final running max
+                      l_out_ref,        # VMEM (TN, 128) final denominator
+                      dcol_ref,         # scratch (TN, 128) dst col broadcast
+                      m_ref,            # scratch (TN, 128) running max
+                      s_ref,            # scratch (TN, 128) running denom
+                      acc_ref,          # scratch (TN, D) fp32
+                      *, TN: int, CU: int, negative_slope: float):
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    njobs = job_offsets_ref[i + 1] - job_offsets_ref[i]
+
+    @pl.when(c == 0)
+    def _():
+        dcol_ref[...] = _dst_col(dst_ref, TN)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        s_ref[...] = jnp.zeros_like(s_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(c < njobs)
+    def _():
+        w = w_ref[0].astype(jnp.float32)                        # (TN, CU)
+        raw = dcol_ref[:, :1] + usc_ref[0, 0][None, :]          # (TN, CU)
+        e = jnp.where(raw > 0, raw, negative_slope * raw)
+        e = jnp.where(w > 0, e, NEG_INF)
+        m_old = m_ref[:, :1]
+        m_new = jnp.maximum(m_old, jnp.max(e, axis=1, keepdims=True))
+        # counts multiply: k parallel edges contribute k * exp(score)
+        p = jnp.where(w > 0, w * jnp.exp(e - m_new), 0.0)
+        scale = jnp.exp(m_old - m_new)                          # (TN, 1)
+        s_ref[...] = s_ref[...] * scale + jnp.sum(p, axis=1,
+                                                  keepdims=True)
+        u = u_ref[...].astype(jnp.float32)
+        hi = u.astype(jnp.bfloat16)
+        lo = (u - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        pb = p.astype(jnp.bfloat16)
+        acc_ref[...] = acc_ref[...] * scale + (
+            jax.lax.dot(pb, hi, preferred_element_type=jnp.float32)
+            + jax.lax.dot(pb, lo, preferred_element_type=jnp.float32))
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _():
+        s = s_ref[:, :1]
+        out = jnp.where(s > 0, acc_ref[...] / jnp.maximum(s, 1e-20), 0.0)
+        out_ref[...] = out.astype(out_ref.dtype)
+        m_out_ref[...] = m_ref[...]
+        l_out_ref[...] = s_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_rows", "cu", "max_jobs",
+                                             "negative_slope"))
+def _gat_dedup_call(job_offsets, dst_tiles, w_blocks, u_scores, u_rows, *,
+                    tile_rows: int, cu: int, max_jobs: int,
+                    negative_slope: float):
+    TN, CU = tile_rows, cu
+    d = u_rows.shape[1]
+    num_tiles = job_offsets.shape[0] - 1
+    n_jobs_total = w_blocks.shape[0]
+
+    def job_index(i, c, offs):
+        # clamp into the tile's job range (skipped steps repeat the
+        # previous block index so the pipeline elides the re-fetch)
+        first = offs[i]
+        last = jnp.maximum(offs[i + 1] - 1, first)
+        return jnp.minimum(jnp.minimum(first + c, last), n_jobs_total - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles, max_jobs),
+        in_specs=[
+            pl.BlockSpec((1, 1, 128), lambda i, c, offs: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN, CU),
+                         lambda i, c, offs: (job_index(i, c, offs), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CU),
+                         lambda i, c, offs: (job_index(i, c, offs), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CU, d),
+                         lambda i, c, offs: (job_index(i, c, offs), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TN, d), lambda i, c, offs: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, 128), lambda i, c, offs: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, 128), lambda i, c, offs: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TN, 128), jnp.float32),
+            pltpu.VMEM((TN, 128), jnp.float32),
+            pltpu.VMEM((TN, 128), jnp.float32),
+            pltpu.VMEM((TN, d), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_gat_dedup_kernel, TN=TN, CU=CU,
+                          negative_slope=negative_slope),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles * TN, d), u_rows.dtype),
+            jax.ShapeDtypeStruct((num_tiles * TN, 128), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles * TN, 128), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_jobs_total * TN * CU * d,
+            bytes_accessed=(n_jobs_total * (TN * CU + CU * d * 4 + CU * 4)
+                            + num_tiles * TN * d * 4),
+            transcendentals=n_jobs_total * TN * CU,
+        ),
+    )(job_offsets, dst_tiles, w_blocks, u_scores, u_rows)
+
+
+def _gat_forward_dedup(graph, z, src_score, dst_score, negative_slope):
+    """Fused attention over the dedup layout.  Returns (out, m, l) with
+    m/l per PERMUTED tile row (the layout's kernel output order)."""
+    t = graph.dedup
+    TN, CU = t.tile_rows, t.cu
+    num_tiles = t.num_tiles
+    pad_rows = num_tiles * TN
+    n = graph.n_nodes
+    if t.perm is not None:
+        # u_senders hold permuted ids: reorder the gather sources once
+        z_p = jnp.take(z, t.perm, axis=0)
+        src_p = jnp.take(src_score, t.perm, axis=0)
+    else:
+        z_p, src_p = z, src_score
+    u_rows = jnp.take(z_p, t.u_senders, axis=0)           # (jobs*CU, D)
+    n_jobs = u_rows.shape[0] // CU
+    u_scores = jnp.take(src_p, t.u_senders,
+                        axis=0).reshape(n_jobs, 1, CU).astype(jnp.float32)
+    # dst scores in KERNEL OUTPUT ROW order — pos maps node -> row and
+    # can be set without perm (raw-id gathers, permuted output rows)
+    if t.pos is not None:
+        dst_pad = jnp.zeros(pad_rows, jnp.float32) \
+            .at[t.pos].set(dst_score.astype(jnp.float32))
+    else:
+        dst_pad = jnp.pad(dst_score.astype(jnp.float32), (0, pad_rows - n))
+    dst_tiles = dst_pad.reshape(num_tiles, TN)
+    if TN < 128:
+        dst_tiles = jnp.pad(dst_tiles, ((0, 0), (0, 128 - TN)))
+    dst_tiles = dst_tiles.reshape(num_tiles, 1, 128)
+    out, m, l = _gat_dedup_call(
+        t.job_offsets, dst_tiles, t.w_blocks, u_scores, u_rows,
+        tile_rows=TN, cu=CU, max_jobs=t.max_jobs,
+        negative_slope=negative_slope)
+    if t.pos is not None:
+        out = jnp.take(out, t.pos, axis=0)
+    else:
+        out = out[:n]
+    return out, m[:, 0], l[:, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gat_attention_dedup(graph: Graph, z, src_score, dst_score,
+                        negative_slope: float = 0.01):
+    """Fused single-head GAT aggregation over the block-dense dedup
+    layout (``graph.dedup``) — no per-edge arrays in the forward; the
+    message matmul runs over unique sender rows.  Semantics identical
+    to :func:`gat_attention_pallas` / the XLA composite."""
+    out, _, _ = _gat_forward_dedup(graph, z, src_score, dst_score,
+                                   negative_slope)
+    return out
+
+
+def _gat_dedup_fwd(graph, z, src_score, dst_score, negative_slope):
+    out, m, l = _gat_forward_dedup(graph, z, src_score, dst_score,
+                                   negative_slope)
+    return out, (graph, z, src_score, dst_score, out, m, l)
+
+
+def _gat_dedup_bwd(negative_slope, res, g):
+    graph, z, src_score, dst_score, out, m, l = res
+    if _GAT_BACKWARD == "fused" and graph.dedup_t is not None:
+        return _gat_dedup_backward_fused(graph, z, src_score, dst_score,
+                                         out, m, l, g, negative_slope)
+    # exact recompute through the XLA composite (graph.senders carries
+    # the real edge list on every training graph)
+    _, vjp = jax.vjp(
+        lambda z, a, b: _xla_reference(graph, z, a, b, negative_slope),
+        z, src_score, dst_score)
+    dz, da, db = vjp(g)
+    return None, dz, da, db
+
+
+gat_attention_dedup.defvjp(_gat_dedup_fwd, _gat_dedup_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused dedup backward (round 4): two kernels, both structurally the
+# forward dedup kernel plus one NT SDDMM matmul.  All per-edge
+# quantities (alpha, score gradient ds) are recomputed BLOCKWISE from
+# per-node vectors and the saved running max / denominator — unlike the
+# v1 fused backward there is no per-edge ds array shipped between the
+# kernels; each kernel derives what it needs in its own orientation:
+#
+#   B1 (forward tiles, dst rows):   ddst_r = sum_u ds(r,u)
+#   B2 (transpose tiles, src rows): dz_s   = sum_r A(s,r) G_r
+#                                   dsrc_s = sum_r ds(s,r)
+#
+# with A the count-weighted probability block and
+# ds = A * (dalpha - c_r) * lrelu', dalpha = z_u . G_r (one NT matmul).
+# ---------------------------------------------------------------------------
+
+
+def _gat_dedup_bwd_b1_kernel(job_offsets_ref,
+                             dst_ref,    # (1, 1, 128) dst scores (tile)
+                             w_ref,      # (1, TN, CU) int8
+                             usc_ref,    # (1, 1, CU) unique src scores
+                             u_ref,      # (CU, D) unique z rows
+                             g_ref,      # (TN, D) upstream grad (tile)
+                             m_ref,      # (TN, 128) fwd running max (tile)
+                             l_ref,      # (TN, 128) fwd denominator (tile)
+                             c_ref,      # (TN, 128) out.G rowdot (tile)
+                             ddst_ref,   # OUT (TN, 128)
+                             dcol_ref,   # scratch (TN, 128)
+                             acc_ref,    # scratch (TN, 128)
+                             *, TN: int, CU: int, negative_slope: float):
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    njobs = job_offsets_ref[i + 1] - job_offsets_ref[i]
+
+    @pl.when(c == 0)
+    def _():
+        dcol_ref[...] = _dst_col(dst_ref, TN)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(c < njobs)
+    def _():
+        w = w_ref[0].astype(jnp.float32)
+        raw = dcol_ref[:, :1] + usc_ref[0, 0][None, :]
+        e = jnp.where(raw > 0, raw, negative_slope * raw)
+        gprime = jnp.where(raw > 0, 1.0, negative_slope)
+        m_col = m_ref[:, :1]
+        l_col = l_ref[:, :1]
+        # count-weighted probabilities; e - m <= 0 on real slots, the
+        # min only guards padding (w == 0 masks it anyway)
+        A = jnp.where(
+            w > 0,
+            w * jnp.exp(jnp.minimum(e - m_col, 0.0))
+            / jnp.maximum(l_col, 1e-20),
+            0.0)
+        # SDDMM: dalpha(r, u) = G_r . z_u via one NT matmul
+        gt = g_ref[...].astype(jnp.float32)
+        ghi = gt.astype(jnp.bfloat16)
+        glo = (gt - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
+        zb = u_ref[...].astype(jnp.bfloat16)
+        dn = (((1,), (1,)), ((), ()))
+        dalpha = (jax.lax.dot_general(ghi, zb, dn,
+                                      preferred_element_type=jnp.float32)
+                  + jax.lax.dot_general(glo, zb, dn,
+                                        preferred_element_type=jnp.float32))
+        ds = A * (dalpha - c_ref[:, :1]) * gprime
+        acc_ref[:, :1] += jnp.sum(ds, axis=1, keepdims=True)
+
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _():
+        ddst_ref[...] = acc_ref[...]
+
+
+def _gat_dedup_bwd_b2_kernel(job_offsets_ref,
+                             src_ref,    # (1, 1, 128) src scores (tile)
+                             w_ref,      # (1, TN, CU) int8 transpose block
+                             bsc_ref,    # (1, 1, CU) dst scores of uniques
+                             msc_ref,    # (1, 1, CU) fwd m of uniques
+                             lsc_ref,    # (1, 1, CU) fwd l of uniques
+                             csc_ref,    # (1, 1, CU) out.G of uniques
+                             gu_ref,     # (CU, D) G rows of uniques
+                             z_ref,      # (TN, D) z rows (tile, t-order)
+                             dz_ref,     # OUT (TN, D)
+                             dsrc_ref,   # OUT (TN, 128)
+                             acol_ref,   # scratch (TN, 128)
+                             accz_ref,   # scratch (TN, D)
+                             accs_ref,   # scratch (TN, 128)
+                             *, TN: int, CU: int, negative_slope: float):
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    njobs = job_offsets_ref[i + 1] - job_offsets_ref[i]
+
+    @pl.when(c == 0)
+    def _():
+        acol_ref[...] = _dst_col(src_ref, TN)
+        accz_ref[...] = jnp.zeros_like(accz_ref)
+        accs_ref[...] = jnp.zeros_like(accs_ref)
+
+    @pl.when(c < njobs)
+    def _():
+        w = w_ref[0].astype(jnp.float32)
+        raw = acol_ref[:, :1] + bsc_ref[0, 0][None, :]
+        e = jnp.where(raw > 0, raw, negative_slope * raw)
+        gprime = jnp.where(raw > 0, 1.0, negative_slope)
+        m_r = msc_ref[0, 0][None, :]
+        l_r = lsc_ref[0, 0][None, :]
+        A = jnp.where(
+            w > 0,
+            w * jnp.exp(jnp.minimum(e - m_r, 0.0))
+            / jnp.maximum(l_r, 1e-20),
+            0.0)
+        gm = gu_ref[...].astype(jnp.float32)
+        hi = gm.astype(jnp.bfloat16)
+        lo = (gm - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        Ab = A.astype(jnp.bfloat16)
+        accz_ref[...] += (
+            jax.lax.dot(Ab, hi, preferred_element_type=jnp.float32)
+            + jax.lax.dot(Ab, lo, preferred_element_type=jnp.float32))
+        # SDDMM: dalpha(s, r) = z_s . G_r
+        zt = z_ref[...].astype(jnp.float32)
+        zhi = zt.astype(jnp.bfloat16)
+        zlo = (zt - zhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        gb = gm.astype(jnp.bfloat16)
+        dn = (((1,), (1,)), ((), ()))
+        dalpha = (jax.lax.dot_general(zhi, gb, dn,
+                                      preferred_element_type=jnp.float32)
+                  + jax.lax.dot_general(zlo, gb, dn,
+                                        preferred_element_type=jnp.float32))
+        ds = A * (dalpha - csc_ref[0, 0][None, :]) * gprime
+        accs_ref[:, :1] += jnp.sum(ds, axis=1, keepdims=True)
+
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _():
+        dz_ref[...] = accz_ref[...].astype(dz_ref.dtype)
+        dsrc_ref[...] = accs_ref[...]
+
+
+def _dst_col(vec_ref, TN: int):
+    """(1, 1, 128) lane vector -> (TN, 128) column broadcast: a masked
+    lane reduce (dcol[r] = vec[r]) — fp32-exact, pure VPU, and the same
+    where+sum idiom the v1 kernels use (a degenerate (TN,128)x(1,128)
+    NT matmul trips a Mosaic vector.broadcast type bug on this chip)."""
+    dv = vec_ref[0].astype(jnp.float32)                     # (1, 128)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TN, 128), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TN, 128), 1)
+    col = jnp.sum(jnp.where(rows == cols, dv, 0.0), axis=1,
+                  keepdims=True)                            # (TN, 1)
+    return jnp.broadcast_to(col, (TN, 128))
+
+
+def _dedup_gathers(t, vecs, z_like):
+    """Per-unique-slot gathers for a dedup layout: each (N,) vector in
+    ``vecs`` -> (n_jobs, 1, CU); ``z_like`` (N, D) -> (jobs*CU, D).
+    Handles the layout's optional pre-permutation."""
+    CU = t.cu
+    n_jobs = t.u_senders.shape[0] // CU
+    if t.perm is not None:
+        vecs = [jnp.take(v, t.perm, axis=0) for v in vecs]
+        z_like = jnp.take(z_like, t.perm, axis=0)
+    lanes = [jnp.take(v, t.u_senders, axis=0)
+             .reshape(n_jobs, 1, CU).astype(jnp.float32) for v in vecs]
+    rows = jnp.take(z_like, t.u_senders, axis=0)
+    return lanes, rows
+
+
+def _rows_order(t, vec, pad_rows, as_tiles=False):
+    """(N,) or (N, D) node-order values -> kernel row order (pos
+    scatter), optionally reshaped to (num_tiles, 1, 128) lane tiles."""
+    TN = t.tile_rows
+    if vec.ndim == 1:
+        out = jnp.zeros(pad_rows, jnp.float32)
+        if t.pos is not None:
+            out = out.at[t.pos].set(vec.astype(jnp.float32))
+        else:
+            out = out.at[:vec.shape[0]].set(vec.astype(jnp.float32))
+        if as_tiles:
+            num_tiles = pad_rows // TN
+            out = out.reshape(num_tiles, TN)
+            if TN < 128:
+                out = jnp.pad(out, ((0, 0), (0, 128 - TN)))
+            return out.reshape(num_tiles, 1, 128)
+        return out
+    out = jnp.zeros((pad_rows, vec.shape[1]), vec.dtype)
+    if t.pos is not None:
+        return out.at[t.pos].set(vec)
+    return out.at[:vec.shape[0]].set(vec)
+
+
+@functools.partial(jax.jit, static_argnames=("negative_slope",))
+def _gat_dedup_backward_fused(graph, z, src_score, dst_score, out, m, l,
+                              g, negative_slope):
+    tf = graph.dedup
+    tt = graph.dedup_t
+    n = graph.n_nodes
+    d = z.shape[1]
+
+    # per-node scalars (node order); m/l arrive per forward OUTPUT row
+    c_rows = jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32),
+                     axis=1)
+    if tf.pos is not None:
+        m_node = jnp.take(m, tf.pos, axis=0)
+        l_node = jnp.take(l, tf.pos, axis=0)
+    else:
+        m_node, l_node = m[:n], l[:n]
+
+    # ---- B1 on forward tiles: ddst ------------------------------------
+    TNf, CUf = tf.tile_rows, tf.cu
+    num_tiles_f = tf.num_tiles
+    pad_f = num_tiles_f * TNf
+    (usc,), uz = _dedup_gathers(tf, [src_score], z)
+    dst_tiles = _rows_order(tf, dst_score, pad_f, as_tiles=True)
+    g_rows_f = _rows_order(tf, g.astype(jnp.float32), pad_f)
+    m128 = jnp.broadcast_to(_rows_order(tf, m_node, pad_f)[:, None],
+                            (pad_f, 128))
+    l128 = jnp.broadcast_to(_rows_order(tf, l_node, pad_f)[:, None],
+                            (pad_f, 128))
+    c128 = jnp.broadcast_to(_rows_order(tf, c_rows, pad_f)[:, None],
+                            (pad_f, 128))
+    n_jobs_f = tf.w_blocks.shape[0]
+
+    def job_f(i, c, offs):
+        first = offs[i]
+        last = jnp.maximum(offs[i + 1] - 1, first)
+        return jnp.minimum(jnp.minimum(first + c, last), n_jobs_f - 1)
+
+    grid_b1 = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles_f, tf.max_jobs),
+        in_specs=[
+            pl.BlockSpec((1, 1, 128), lambda i, c, offs: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TNf, CUf),
+                         lambda i, c, offs: (job_f(i, c, offs), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CUf),
+                         lambda i, c, offs: (job_f(i, c, offs), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CUf, d),
+                         lambda i, c, offs: (job_f(i, c, offs), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TNf, d), lambda i, c, offs: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TNf, 128), lambda i, c, offs: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TNf, 128), lambda i, c, offs: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TNf, 128), lambda i, c, offs: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TNf, 128), lambda i, c, offs: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TNf, 128), jnp.float32),
+                        pltpu.VMEM((TNf, 128), jnp.float32)],
+    )
+    ddst128 = pl.pallas_call(
+        functools.partial(_gat_dedup_bwd_b1_kernel, TN=TNf, CU=CUf,
+                          negative_slope=negative_slope),
+        grid_spec=grid_b1,
+        out_shape=jax.ShapeDtypeStruct((pad_f, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(tf.job_offsets, dst_tiles, tf.w_blocks, usc, uz, g_rows_f,
+      m128, l128, c128)
+    ddst = (jnp.take(ddst128[:, 0], tf.pos, axis=0) if tf.pos is not None
+            else ddst128[:n, 0])
+
+    # ---- B2 on transpose tiles: dz + dsrc ------------------------------
+    TNt, CUt = tt.tile_rows, tt.cu
+    num_tiles_t = tt.num_tiles
+    pad_t = num_tiles_t * TNt
+    (bsc, msc, lsc, csc), gu = _dedup_gathers(
+        tt, [dst_score, m_node, l_node, c_rows], g.astype(jnp.float32))
+    src_tiles = _rows_order(tt, src_score, pad_t, as_tiles=True)
+    z_rows_t = _rows_order(tt, z.astype(jnp.float32), pad_t)
+    n_jobs_t = tt.w_blocks.shape[0]
+
+    def job_t(i, c, offs):
+        first = offs[i]
+        last = jnp.maximum(offs[i + 1] - 1, first)
+        return jnp.minimum(jnp.minimum(first + c, last), n_jobs_t - 1)
+
+    grid_b2 = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles_t, tt.max_jobs),
+        in_specs=[
+            pl.BlockSpec((1, 1, 128), lambda i, c, offs: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TNt, CUt),
+                         lambda i, c, offs: (job_t(i, c, offs), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CUt),
+                         lambda i, c, offs: (job_t(i, c, offs), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CUt),
+                         lambda i, c, offs: (job_t(i, c, offs), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CUt),
+                         lambda i, c, offs: (job_t(i, c, offs), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CUt),
+                         lambda i, c, offs: (job_t(i, c, offs), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CUt, d),
+                         lambda i, c, offs: (job_t(i, c, offs), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TNt, d), lambda i, c, offs: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TNt, d), lambda i, c, offs: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TNt, 128), lambda i, c, offs: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((TNt, 128), jnp.float32),
+                        pltpu.VMEM((TNt, d), jnp.float32),
+                        pltpu.VMEM((TNt, 128), jnp.float32)],
+    )
+    dz_rows, dsrc128 = pl.pallas_call(
+        functools.partial(_gat_dedup_bwd_b2_kernel, TN=TNt, CU=CUt,
+                          negative_slope=negative_slope),
+        grid_spec=grid_b2,
+        out_shape=(
+            jax.ShapeDtypeStruct((pad_t, d), z.dtype),
+            jax.ShapeDtypeStruct((pad_t, 128), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(tt.job_offsets, src_tiles, tt.w_blocks, bsc, msc, lsc, csc,
+      gu, z_rows_t)
+    if tt.pos is not None:
+        dz = jnp.take(dz_rows, tt.pos, axis=0)
+        dsrc = jnp.take(dsrc128[:, 0], tt.pos, axis=0)
+    else:
+        dz = dz_rows[:n]
+        dsrc = dsrc128[:n, 0]
+    return None, dz, dsrc.astype(src_score.dtype), \
+        ddst.astype(dst_score.dtype)

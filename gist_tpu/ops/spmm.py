@@ -51,13 +51,16 @@ def resolve_backend(graph: Optional[Graph] = None,
 
 def resolve_gat_backend(graph: Optional[Graph] = None,
                         backend: Optional[str] = None) -> str:
-    """Backend resolution for the GAT attention path: the fused kernel
-    needs the v1 gather layout (``graph.tiled``), not the dedup layout
-    the SpMM resolver checks first."""
+    """Backend resolution for the GAT attention path: fused kernels
+    exist for the flat dedup layout (``graph.dedup``, round 4 — no
+    per-edge arrays, unique-row message matmuls) and the v1 gather
+    layout (``graph.tiled``); the chunked dedup layout (huge graphs)
+    has no attention kernel."""
     backend = backend or _DEFAULT_BACKEND
     if backend != "auto":
         return backend
-    has_tiles = graph is not None and graph.tiled is not None
+    has_tiles = graph is not None and (graph.tiled is not None
+                                       or graph.dedup is not None)
     return "pallas" if has_tiles and jax.default_backend() == "tpu" \
         else "segment"
 
