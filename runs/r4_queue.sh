@@ -6,8 +6,10 @@
 # is re-read before every job).  Logs -> runs/logs/job_<i>.log
 cd /root/repo
 # `python benchmarks/foo.py` puts benchmarks/ (not the repo root) on
-# sys.path — every bare-script job needs the root importable.
-export PYTHONPATH=/root/repo
+# sys.path — every bare-script job needs the root importable.  The
+# axon site dir must STAY on the path or the TPU plugin vanishes
+# (verify skill: clobbering PYTHONPATH breaks the plugin).
+export PYTHONPATH=/root/.axon_site:/root/repo
 Q=runs/r4_queue.txt
 i=0
 while true; do
