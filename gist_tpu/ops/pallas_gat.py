@@ -40,6 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gist_tpu.graph import Graph, TiledCSR
+from gist_tpu.ops.pallas_spmm import _split_hi_lo_dot
 
 NEG_INF = -1e30
 
@@ -77,13 +78,10 @@ def _gat_kernel(tile_offsets_ref,   # SMEM scalar prefetch
         scale = jnp.exp(m_old - m_new)                           # (TN, 1)
         s_ref[...] = s_ref[...] * scale + jnp.sum(
             p, axis=1, keepdims=True)
-        msgs = msgs_ref[...].astype(jnp.float32)
-        hi = msgs.astype(jnp.bfloat16)
-        lo = (msgs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         pb = p.astype(jnp.bfloat16)
-        acc_ref[...] = acc_ref[...] * scale + (
-            jax.lax.dot(pb, hi, preferred_element_type=jnp.float32)
-            + jax.lax.dot(pb, lo, preferred_element_type=jnp.float32))
+        # bf16 messages skip the lo matmul (_split_hi_lo_dot)
+        acc_ref[...] = acc_ref[...] * scale + _split_hi_lo_dot(
+            pb, msgs_ref[...])
         m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
 
     @pl.when(c == pl.num_programs(1) - 1)
@@ -582,13 +580,10 @@ def _gat_dedup_kernel(job_offsets_ref,  # SMEM (num_tiles+1,) prefetch
         scale = jnp.exp(m_old - m_new)                          # (TN, 1)
         s_ref[...] = s_ref[...] * scale + jnp.sum(p, axis=1,
                                                   keepdims=True)
-        u = u_ref[...].astype(jnp.float32)
-        hi = u.astype(jnp.bfloat16)
-        lo = (u - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         pb = p.astype(jnp.bfloat16)
-        acc_ref[...] = acc_ref[...] * scale + (
-            jax.lax.dot(pb, hi, preferred_element_type=jnp.float32)
-            + jax.lax.dot(pb, lo, preferred_element_type=jnp.float32))
+        # bf16 messages skip the lo matmul (_split_hi_lo_dot)
+        acc_ref[...] = acc_ref[...] * scale + _split_hi_lo_dot(
+            pb, u_ref[...])
         m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
 
     @pl.when(c == pl.num_programs(1) - 1)

@@ -255,3 +255,21 @@ def test_gat_model_pallas_dedup_backend_matches_segment(rng):
     got = np.asarray(run_interpret(
         lambda: gat_model.apply(params, g, x, cfg, backend="pallas")))
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+def test_gat_dedup_kernel_bfloat16_messages(rng):
+    """bf16 z rides the single-matmul fast path and stays within bf16
+    tolerance of the fp32 XLA composite."""
+    from gist_tpu.ops.pallas_gat import gat_attention_dedup
+    n, e, d = 300, 1500, 16
+    s, r = make_random_graph(rng, n, e)
+    g = G.graph_from_edges(s, r, n, tiles=True, tile_mode="dedup")
+    z = rng.standard_normal((n, d)).astype(np.float32)
+    a = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    want = np.asarray(_xla_reference(g, jnp.asarray(z), a, b, 0.01))
+    got = np.asarray(run_interpret(
+        lambda: gat_attention_dedup(g, jnp.asarray(z, jnp.bfloat16),
+                                    a, b, 0.01)))
+    np.testing.assert_allclose(got.astype(np.float32), want,
+                               rtol=3e-2, atol=3e-2)
