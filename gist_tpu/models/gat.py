@@ -97,11 +97,23 @@ def _multi_head_layer(graph: Graph, h: jnp.ndarray, layer: dict,
     if backend == "pallas" and (graph.tiled is not None
                                 or graph.dedup is not None):
         from gist_tpu.ops.pallas_gat import (gat_attention_dedup,
+                                             gat_attention_dedup_mh,
                                              gat_attention_pallas)
         # dedup layout preferred: messages matmul over unique sender
         # rows (~0.35x the per-edge traffic) and no per-edge score array
-        kernel = gat_attention_dedup if graph.dedup is not None \
-            else gat_attention_pallas
+        if graph.dedup is not None:
+            dp = -(-d_out // 128) * 128
+            if heads * dp <= 1024:
+                # all heads in one kernel call: one unique-row gather
+                # and one count-block read per job serve every head
+                a = jnp.einsum("nho,ho->nh", z, attn[:, :d_out])
+                b = jnp.einsum("nho,ho->nh", z, attn[:, d_out:])
+                out = gat_attention_dedup_mh(graph, z, a, b,
+                                             negative_slope)
+                return jnp.mean(out, axis=1)
+            kernel = gat_attention_dedup   # per-head: VMEM-bounded
+        else:
+            kernel = gat_attention_pallas
         outs = []
         for hd in range(heads):
             zh = z[:, hd, :]

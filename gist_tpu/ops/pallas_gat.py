@@ -546,23 +546,30 @@ def _gat_backward_fused(graph, z, src_score, dst_score, out, m, l, g,
 def _gat_dedup_kernel(job_offsets_ref,  # SMEM (num_tiles+1,) prefetch
                       dst_ref,          # VMEM (1, 1, 128) dst scores (tile i)
                       w_ref,            # VMEM (1, TN, CU) int8 count block
-                      usc_ref,          # VMEM (1, 1, CU) unique src scores
-                      u_ref,            # VMEM (CU, D) unique z rows
-                      out_ref,          # VMEM (TN, D) revisited per tile
-                      m_out_ref,        # VMEM (TN, 128) final running max
-                      l_out_ref,        # VMEM (TN, 128) final denominator
-                      dcol_ref,         # scratch (TN, 128) dst col broadcast
-                      m_ref,            # scratch (TN, 128) running max
-                      s_ref,            # scratch (TN, 128) running denom
-                      acc_ref,          # scratch (TN, D) fp32
-                      *, TN: int, CU: int, negative_slope: float):
+                      usc_ref,          # VMEM (1, 1, H*CU) unique src scores
+                      u_ref,            # VMEM (CU, H*DP) unique z rows
+                      out_ref,          # VMEM (TN, H*DP) revisited per tile
+                      m_out_ref,        # VMEM (TN, H*128) final running max
+                      l_out_ref,        # VMEM (TN, H*128) final denominator
+                      dcol_ref,         # scratch (TN, H*128) dst columns
+                      m_ref,            # scratch (TN, H*128) running max
+                      s_ref,            # scratch (TN, H*128) running denom
+                      acc_ref,          # scratch (TN, H*DP) fp32
+                      *, TN: int, CU: int, negative_slope: float,
+                      H: int, DP: int):
+    # Multi-head batched (round 4): the w block is read ONCE per job for
+    # all H heads, and the caller gathers one (CU, H*DP) unique-row
+    # block instead of H separate gathers; head h lives in lane slices
+    # [h*CU:(h+1)*CU] (scores), [h*DP:(h+1)*DP] (rows/acc), and
+    # [h*128:(h+1)*128] (dst/m/s).  H=1 is the single-head kernel.
     i = pl.program_id(0)
     c = pl.program_id(1)
     njobs = job_offsets_ref[i + 1] - job_offsets_ref[i]
 
     @pl.when(c == 0)
     def _():
-        dcol_ref[...] = _dst_col(dst_ref, TN)
+        for h in range(H):
+            dcol_ref[:, h * 128:(h + 1) * 128] = _dst_col(dst_ref, TN, h)
         m_ref[...] = jnp.full_like(m_ref, NEG_INF)
         s_ref[...] = jnp.zeros_like(s_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -570,38 +577,50 @@ def _gat_dedup_kernel(job_offsets_ref,  # SMEM (num_tiles+1,) prefetch
     @pl.when(c < njobs)
     def _():
         w = w_ref[0].astype(jnp.float32)                        # (TN, CU)
-        raw = dcol_ref[:, :1] + usc_ref[0, 0][None, :]          # (TN, CU)
-        e = jnp.where(raw > 0, raw, negative_slope * raw)
-        e = jnp.where(w > 0, e, NEG_INF)
-        m_old = m_ref[:, :1]
-        m_new = jnp.maximum(m_old, jnp.max(e, axis=1, keepdims=True))
-        # counts multiply: k parallel edges contribute k * exp(score)
-        p = jnp.where(w > 0, w * jnp.exp(e - m_new), 0.0)
-        scale = jnp.exp(m_old - m_new)                          # (TN, 1)
-        s_ref[...] = s_ref[...] * scale + jnp.sum(p, axis=1,
-                                                  keepdims=True)
-        pb = p.astype(jnp.bfloat16)
-        # bf16 messages skip the lo matmul (_split_hi_lo_dot)
-        acc_ref[...] = acc_ref[...] * scale + _split_hi_lo_dot(
-            pb, u_ref[...])
-        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        for h in range(H):
+            raw = (dcol_ref[:, h * 128:h * 128 + 1]
+                   + usc_ref[0, 0, h * CU:(h + 1) * CU][None, :])
+            e = jnp.where(raw > 0, raw, negative_slope * raw)
+            e = jnp.where(w > 0, e, NEG_INF)
+            m_old = m_ref[:, h * 128:h * 128 + 1]
+            m_new = jnp.maximum(m_old, jnp.max(e, axis=1, keepdims=True))
+            # counts multiply: k parallel edges give k * exp(score)
+            p = jnp.where(w > 0, w * jnp.exp(e - m_new), 0.0)
+            scale = jnp.exp(m_old - m_new)                      # (TN, 1)
+            s_ref[:, h * 128:(h + 1) * 128] = (
+                s_ref[:, h * 128:(h + 1) * 128] * scale
+                + jnp.sum(p, axis=1, keepdims=True))
+            pb = p.astype(jnp.bfloat16)
+            # bf16 messages skip the lo matmul (_split_hi_lo_dot)
+            acc_ref[:, h * DP:(h + 1) * DP] = (
+                acc_ref[:, h * DP:(h + 1) * DP] * scale
+                + _split_hi_lo_dot(pb, u_ref[:, h * DP:(h + 1) * DP]))
+            m_ref[:, h * 128:(h + 1) * 128] = jnp.broadcast_to(
+                m_new, (TN, 128))
 
     @pl.when(c == pl.num_programs(1) - 1)
     def _():
-        s = s_ref[:, :1]
-        out = jnp.where(s > 0, acc_ref[...] / jnp.maximum(s, 1e-20), 0.0)
-        out_ref[...] = out.astype(out_ref.dtype)
+        for h in range(H):
+            s = s_ref[:, h * 128:h * 128 + 1]
+            acc = acc_ref[:, h * DP:(h + 1) * DP]
+            out = jnp.where(s > 0, acc / jnp.maximum(s, 1e-20), 0.0)
+            out_ref[:, h * DP:(h + 1) * DP] = out.astype(out_ref.dtype)
         m_out_ref[...] = m_ref[...]
         l_out_ref[...] = s_ref[...]
 
 
 @functools.partial(jax.jit, static_argnames=("tile_rows", "cu", "max_jobs",
-                                             "negative_slope"))
+                                             "negative_slope", "heads"))
 def _gat_dedup_call(job_offsets, dst_tiles, w_blocks, u_scores, u_rows, *,
                     tile_rows: int, cu: int, max_jobs: int,
-                    negative_slope: float):
-    TN, CU = tile_rows, cu
-    d = u_rows.shape[1]
+                    negative_slope: float, heads: int = 1):
+    """``u_rows`` is (jobs*CU, H*DP) with head h in lane slice
+    [h*DP:(h+1)*DP]; ``u_scores`` (jobs, 1, H*CU); ``dst_tiles``
+    (tiles, 1, H*128).  H=1 reduces to the single-head layout."""
+    TN, CU, H = tile_rows, cu, heads
+    hd = u_rows.shape[1]
+    assert hd % H == 0
+    DP = hd // H
     num_tiles = job_offsets.shape[0] - 1
     n_jobs_total = w_blocks.shape[0]
 
@@ -616,50 +635,51 @@ def _gat_dedup_call(job_offsets, dst_tiles, w_blocks, u_scores, u_rows, *,
         num_scalar_prefetch=1,
         grid=(num_tiles, max_jobs),
         in_specs=[
-            pl.BlockSpec((1, 1, 128), lambda i, c, offs: (i, 0, 0),
+            pl.BlockSpec((1, 1, H * 128), lambda i, c, offs: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TN, CU),
                          lambda i, c, offs: (job_index(i, c, offs), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, CU),
+            pl.BlockSpec((1, 1, H * CU),
                          lambda i, c, offs: (job_index(i, c, offs), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((CU, d),
+            pl.BlockSpec((CU, H * DP),
                          lambda i, c, offs: (job_index(i, c, offs), 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TN, d), lambda i, c, offs: (i, 0),
+            pl.BlockSpec((TN, H * DP), lambda i, c, offs: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, 128), lambda i, c, offs: (i, 0),
+            pl.BlockSpec((TN, H * 128), lambda i, c, offs: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, 128), lambda i, c, offs: (i, 0),
+            pl.BlockSpec((TN, H * 128), lambda i, c, offs: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((TN, 128), jnp.float32),
-            pltpu.VMEM((TN, 128), jnp.float32),
-            pltpu.VMEM((TN, 128), jnp.float32),
-            pltpu.VMEM((TN, d), jnp.float32),
+            pltpu.VMEM((TN, H * 128), jnp.float32),
+            pltpu.VMEM((TN, H * 128), jnp.float32),
+            pltpu.VMEM((TN, H * 128), jnp.float32),
+            pltpu.VMEM((TN, H * DP), jnp.float32),
         ],
     )
     return pl.pallas_call(
         functools.partial(_gat_dedup_kernel, TN=TN, CU=CU,
-                          negative_slope=negative_slope),
+                          negative_slope=negative_slope, H=H, DP=DP),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((num_tiles * TN, d), u_rows.dtype),
-            jax.ShapeDtypeStruct((num_tiles * TN, 128), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles * TN, 128), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles * TN, H * DP), u_rows.dtype),
+            jax.ShapeDtypeStruct((num_tiles * TN, H * 128), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles * TN, H * 128), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * n_jobs_total * TN * CU * d,
-            bytes_accessed=(n_jobs_total * (TN * CU + CU * d * 4 + CU * 4)
-                            + num_tiles * TN * d * 4),
-            transcendentals=n_jobs_total * TN * CU,
+            flops=4 * n_jobs_total * TN * CU * hd,
+            bytes_accessed=(n_jobs_total * (TN * CU + CU * hd * 4
+                                            + H * CU * 4)
+                            + num_tiles * TN * hd * 4),
+            transcendentals=n_jobs_total * TN * CU * H,
         ),
     )(job_offsets, dst_tiles, w_blocks, u_scores, u_rows)
 
@@ -737,6 +757,103 @@ def _gat_dedup_bwd(negative_slope, res, g):
 
 
 gat_attention_dedup.defvjp(_gat_dedup_fwd, _gat_dedup_bwd)
+
+
+def _gat_forward_dedup_mh(graph, z, src_score, dst_score, negative_slope):
+    """Multi-head batched forward: z (N, H, O), src/dst (N, H) ->
+    (out (N, H, O), m (pad_rows, H*128), l (pad_rows, H*128)).  One
+    unique-row gather and one w-block read per job serve every head."""
+    t = graph.dedup
+    TN, CU = t.tile_rows, t.cu
+    num_tiles = t.num_tiles
+    pad_rows = num_tiles * TN
+    n = graph.n_nodes
+    H, O = z.shape[1], z.shape[2]
+    DP = -(-O // 128) * 128
+    if DP != O:
+        z_flat = jnp.pad(z, ((0, 0), (0, 0), (0, DP - O)))
+    else:
+        z_flat = z
+    z_flat = z_flat.reshape(n, H * DP)
+    if t.perm is not None:
+        z_p = jnp.take(z_flat, t.perm, axis=0)
+        src_p = jnp.take(src_score, t.perm, axis=0)
+    else:
+        z_p, src_p = z_flat, src_score
+    u_rows = jnp.take(z_p, t.u_senders, axis=0)       # (jobs*CU, H*DP)
+    n_jobs = u_rows.shape[0] // CU
+    # per-head score lanes contiguous: (jobs, CU, H) -> (jobs, H, CU)
+    u_scores = (jnp.take(src_p, t.u_senders, axis=0)
+                .reshape(n_jobs, CU, H).transpose(0, 2, 1)
+                .reshape(n_jobs, 1, H * CU).astype(jnp.float32))
+    if t.pos is not None:
+        dst_rows = jnp.zeros((pad_rows, H), jnp.float32) \
+            .at[t.pos].set(dst_score.astype(jnp.float32))
+    else:
+        dst_rows = jnp.pad(dst_score.astype(jnp.float32),
+                           ((0, pad_rows - n), (0, 0)))
+    dst_tiles = dst_rows.reshape(num_tiles, TN, H).transpose(0, 2, 1)
+    if TN < 128:
+        dst_tiles = jnp.pad(dst_tiles, ((0, 0), (0, 0), (0, 128 - TN)))
+    dst_tiles = dst_tiles.reshape(num_tiles, 1, H * 128)
+    out, m, l = _gat_dedup_call(
+        t.job_offsets, dst_tiles, t.w_blocks, u_scores, u_rows,
+        tile_rows=TN, cu=CU, max_jobs=t.max_jobs,
+        negative_slope=negative_slope, heads=H)
+    out = out.reshape(pad_rows, H, DP)[:, :, :O]
+    if t.pos is not None:
+        out = jnp.take(out, t.pos, axis=0)
+    else:
+        out = out[:n]
+    return out, m, l
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gat_attention_dedup_mh(graph: Graph, z, src_score, dst_score,
+                           negative_slope: float = 0.01):
+    """All-heads fused dedup attention: ``z`` (N, H, O), per-node score
+    halves ``src_score``/``dst_score`` (N, H) -> (N, H, O).  Semantics
+    = per-head :func:`gat_attention_dedup`, but the unique-row gather
+    and count-block reads are shared across heads."""
+    out, _, _ = _gat_forward_dedup_mh(graph, z, src_score, dst_score,
+                                      negative_slope)
+    return out
+
+
+def _gat_dedup_mh_fwd(graph, z, src_score, dst_score, negative_slope):
+    out, m, l = _gat_forward_dedup_mh(graph, z, src_score, dst_score,
+                                      negative_slope)
+    return out, (graph, z, src_score, dst_score, out, m, l)
+
+
+def _gat_dedup_mh_bwd(negative_slope, res, g):
+    graph, z, src_score, dst_score, out, m, l = res
+    H = z.shape[1]
+    dzs, dsrcs, ddsts = [], [], []
+    if _GAT_BACKWARD == "fused" and graph.dedup_t is not None:
+        for h in range(H):
+            _, dz, da, db = _gat_dedup_backward_fused(
+                graph, z[:, h], src_score[:, h], dst_score[:, h],
+                out[:, h], m[:, h * 128], l[:, h * 128], g[:, h],
+                negative_slope)
+            dzs.append(dz)
+            dsrcs.append(da)
+            ddsts.append(db)
+    else:
+        for h in range(H):
+            _, vjp = jax.vjp(
+                lambda zz, a, b: _xla_reference(graph, zz, a, b,
+                                                negative_slope),
+                z[:, h], src_score[:, h], dst_score[:, h])
+            dz, da, db = vjp(g[:, h])
+            dzs.append(dz)
+            dsrcs.append(da)
+            ddsts.append(db)
+    return (None, jnp.stack(dzs, axis=1), jnp.stack(dsrcs, axis=1),
+            jnp.stack(ddsts, axis=1))
+
+
+gat_attention_dedup_mh.defvjp(_gat_dedup_mh_fwd, _gat_dedup_mh_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -875,12 +992,13 @@ def _gat_dedup_bwd_b2_kernel(job_offsets_ref,
         dsrc_ref[...] = accs_ref[...]
 
 
-def _dst_col(vec_ref, TN: int):
-    """(1, 1, 128) lane vector -> (TN, 128) column broadcast: a masked
-    lane reduce (dcol[r] = vec[r]) — fp32-exact, pure VPU, and the same
-    where+sum idiom the v1 kernels use (a degenerate (TN,128)x(1,128)
-    NT matmul trips a Mosaic vector.broadcast type bug on this chip)."""
-    dv = vec_ref[0].astype(jnp.float32)                     # (1, 128)
+def _dst_col(vec_ref, TN: int, h: int = 0):
+    """(1, 1, H*128) lane vector, head slice h -> (TN, 128) column
+    broadcast: a masked lane reduce (dcol[r] = vec[h*128 + r]) —
+    fp32-exact, pure VPU, and the same where+sum idiom the v1 kernels
+    use (a degenerate (TN,128)x(1,128) NT matmul trips a Mosaic
+    vector.broadcast type bug on this chip)."""
+    dv = vec_ref[0, :, h * 128:(h + 1) * 128].astype(jnp.float32)
     rows = jax.lax.broadcasted_iota(jnp.int32, (TN, 128), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (TN, 128), 1)
     col = jnp.sum(jnp.where(rows == cols, dv, 0.0), axis=1,
