@@ -44,7 +44,11 @@ cfg = sage.SAGEConfig(ds.in_feats, H, ds.n_classes, n_layers=4,
 # fixed total epochs across K, like the reference grid (local epochs =
 # n_epochs // K, ist_distrib.py:385) — the K=1 control therefore runs
 # K x the wall steps; override with UW_EPOCHS to bound it
-tc = TrainConfig(lr=1e-2, weight_decay=0.0,
+# UW_LR: the reference's ultra-wide grid pins lr 5e-3
+# (run_ist_sweep_amazon_ultrawide.py:18); 1e-2 kept as the family
+# default for consistency with the recorded r3/r4 runs
+tc = TrainConfig(lr=float(os.environ.get("UW_LR", "1e-2")),
+                 weight_decay=0.0,
                  n_epochs=int(os.environ.get("UW_EPOCHS", "16")),
                  num_subnet=K, iter_per_site=750)
 eval_every = int(os.environ.get("UW_EVAL_EVERY", "1"))
@@ -59,7 +63,7 @@ res["wall_time"] = time.time() - t0
 res["config"] = {"n_hidden": H, "n_layers": 4, "num_subnet": K,
                  "psize": 15000, "batch_size": 10, "iter_per_site": 750,
                  "n_epochs": tc.n_epochs, "eval_every_rounds": eval_every,
-                 "mesh": "8-device CPU"}
+                 "lr": tc.lr, "mesh": "8-device CPU"}
 out = f"results/{tag}_amazon_uw_fullscale_h{H}_k{K}.json"
 write_results(res, out)
 print(f"WROTE {out}", flush=True)
