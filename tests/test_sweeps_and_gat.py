@@ -1,6 +1,8 @@
 """Sweep runner + GAT distributed-IST cluster training on the CPU mesh."""
 
 import json
+
+import pytest
 import os
 
 import numpy as np
@@ -98,11 +100,13 @@ def test_lsgd_baseline_learns():
     assert res["best_val"] > 0.3, res
 
 
-def test_gat_pallas_through_stacked_scan(rng):
+@pytest.mark.parametrize("tile_mode", ["gather", "dedup"])
+def test_gat_pallas_through_stacked_scan(rng, tile_mode):
     """The composition the GAT auto-compose enables on TPU: stacked
-    gather-tile cluster batches scanned through gat.apply with the
-    fused kernel (interpret mode), forward + grad — de-risks the
-    round-path semantics before any chip time."""
+    tiled cluster batches scanned through gat.apply with the fused
+    kernel (interpret mode), forward + grad — de-risks the round-path
+    semantics before any chip time.  Covers both tile layouts (dedup =
+    the round-4 multi-head batched kernel)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
@@ -114,7 +118,7 @@ def test_gat_pallas_through_stacked_scan(rng):
 
     ds = synthetic_dataset("synth-tiny")
     s = ClusterSampler(ds, psize=4, batch_size=2, tiles=True,
-                       tile_mode="gather")
+                       tile_mode=tile_mode)
     gen = s.iter_node_ids()
     batches = [s.make_batch(next(gen), node_pad=256, numpy=True,
                             ids_only=True) for _ in range(2)]
