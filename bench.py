@@ -187,6 +187,88 @@ def main():
         except Exception as e:
             extras["train_step_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    # GAT fused attention over the dedup layout (round 4): scores are
+    # rank-1 in the node scores, so the kernel needs no per-edge data
+    # and the message matmul runs over unique sender rows.  Measured
+    # against the XLA composite (SDDMM + segment softmax + weighted
+    # segment sum) on the same graph at D=128.
+    if not fast and os.environ.get("GIST_BENCH_GAT", "1") == "1":
+        try:
+            from gist_tpu.ops.pallas_gat import (_xla_reference,
+                                                 gat_attention_dedup)
+            rng_g = np.random.default_rng(7)
+            zdim = min(F, 128)
+            z = x[:, :zdim]
+            av = jnp.asarray(
+                rng_g.standard_normal(ds.n_nodes).astype(np.float32))
+            bv = jnp.asarray(
+                rng_g.standard_normal(ds.n_nodes).astype(np.float32))
+            if g.dedup is not None:
+                g_att = g.replace(dedup_t=None, tiled_t=None)
+                dtg = loop_time(
+                    lambda g_, z_: gat_attention_dedup(g_, z_, av, bv, 0.01),
+                    g_att, z, iters=10, baked=True)
+                extras["gat_dedup_ms"] = round(dtg * 1e3, 2)
+                extras["gat_dedup_edges_per_sec"] = round(E / dtg, 1)
+                dtx = loop_time(
+                    lambda g_, z_: _xla_reference(g_, z_, av, bv, 0.01),
+                    g, z, iters=5, baked=True)
+                extras["gat_segment_ms"] = round(dtx * 1e3, 2)
+                extras["gat_dedup_speedup"] = round(dtx / dtg, 2)
+        except Exception as e:
+            extras["gat_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # Amazon2M-scale regression guard (VERDICT r3 weak #6): the
+    # headline above runs the FLAT dedup layout; the 2.45M-node scale
+    # runs the CHUNKED layout (lax.scan over bounded per-chunk gathers,
+    # graph.py:ChunkedDedupTiles), whose cost structure — the gather
+    # wall — the flat number cannot see.  Full-scale needs ~10 min of
+    # host setup, so the driver-captured artifact measures the chunked
+    # MACHINERY on synth-amazon2m-small with forced chunking (16
+    # chunks); the full-scale numbers live in results/r4_amazon_spmm_*
+    # (benchmarks/amazon_spmm_bench.py).
+    if not fast and os.environ.get("GIST_BENCH_AMAZON", "1") == "1":
+        try:
+            from gist_tpu.graph import Graph, _build_dedup_chunked
+            ds2 = synthetic_dataset("synth-amazon2m-small")
+            E2 = len(ds2.senders)
+            cache = "data/bench_chunked_small.npz"
+            if os.path.exists(cache):
+                from gist_tpu.graph import ChunkedDedupTiles
+                z = np.load(cache)
+                dc = ChunkedDedupTiles(
+                    u_senders=z["u"], w_blocks=z["w"], job_offsets=z["o"],
+                    tile_rows=64, cu=1024, max_jobs=int(z["mj"]),
+                    num_tiles=int(z["nt"]), pos=z["pos"], perm=z["perm"])
+            else:
+                dc = _build_dedup_chunked(ds2.senders, ds2.receivers,
+                                          ds2.n_nodes, tile_rows=64,
+                                          chunk_rows=2 ** 13)
+                os.makedirs("data", exist_ok=True)
+                np.savez(cache, u=np.asarray(dc.u_senders),
+                         w=np.asarray(dc.w_blocks),
+                         o=np.asarray(dc.job_offsets), mj=dc.max_jobs,
+                         nt=dc.num_tiles, pos=np.asarray(dc.pos),
+                         perm=np.asarray(dc.perm))
+            dc = dc.to_device()
+            x2 = jnp.asarray(ds2.features)
+            dummy = jnp.zeros(8, jnp.int32)
+            dptr = jnp.zeros(ds2.n_nodes + 1, jnp.int32)
+            deg = jnp.zeros(ds2.n_nodes, jnp.float32)
+            g2 = Graph(senders=dummy, receivers=dummy, indptr=dptr,
+                       in_degrees=deg, out_degrees=deg, t_senders=dummy,
+                       t_receivers=dummy, t_indptr=dptr,
+                       n_nodes=ds2.n_nodes, n_edges=E2, dedup_c=dc)
+            from gist_tpu.ops.pallas_spmm import spmm_pallas_csr
+            # graph as ARGUMENT: baking the multi-chunk W blocks into
+            # the jit exceeds the remote-compile HTTP body limit (413)
+            dtc = loop_time(spmm_pallas_csr, g2, x2, iters=10)
+            extras["chunked_small_ms"] = round(dtc * 1e3, 2)
+            extras["chunked_small_edges_per_sec"] = round(E2 / dtc, 1)
+            extras["chunked_small_n_chunks"] = dc.n_chunks
+        except Exception as e:
+            extras["chunked_small_error"] = f"{type(e).__name__}: {e}"[:200]
+
     edges_per_sec = E / dt
     print(json.dumps({
         "metric": f"edges/sec/chip (SpMM agg, {backend}, "
