@@ -9,9 +9,10 @@ the fused two-kernel backward, the Pallas forward with the
 XLA-recompute backward, and the pure XLA composite — the end-to-end
 number VERDICT r1 #8 asks for (forward-only speedups don't establish a
 training win).  Timing runs ``iters`` steps inside ONE jitted
-lax.fori_loop with the graph baked as compile-time constants (one
-honest device sync per measurement; see bench.py for why per-op wall
-clocks through this session's tunnel are unreliable).
+lax.fori_loop with the graph as a runtime argument (one honest device
+sync per measurement; see bench.py for why per-op wall clocks through
+this session's tunnel are unreliable, and train_step_bench for why the
+graph can't be baked).
 """
 
 import argparse
@@ -42,18 +43,22 @@ def train_step_bench(g, n, d, iters):
     opt = optax.adam(1e-3)
 
     def make_run(backend):
-        # graph baked as compile-time constants (see module docstring)
-        def loss_fn(p):
+        # graph passed as a runtime ARGUMENT: baking the dedup layout's
+        # int8 count blocks (~hundreds of MB at 2.3M edges) into the jit
+        # exceeds the remote-compile HTTP body limit; as-arg keeps both
+        # layouts on equal methodology (costs the captured-array
+        # per-iteration overhead equally)
+        def loss_fn(p, g):
             logits = gat.apply(p, g, x, cfg, backend=backend)
             return masked_cross_entropy(logits, labels, mask)
 
         @jax.jit
-        def run(params):
+        def run(g, params):
             opt_state = opt.init(params)
 
             def body(i, carry):
                 p, o, acc = carry
-                l, grads = jax.value_and_grad(loss_fn)(p)
+                l, grads = jax.value_and_grad(loss_fn)(p, g)
                 upd, o = opt.update(grads, o, p)
                 p = optax.apply_updates(p, upd)
                 return p, o, acc + l
@@ -70,9 +75,9 @@ def train_step_bench(g, n, d, iters):
     ]:
         pallas_gat.set_gat_backward(bwd)
         run = make_run(backend)
-        float(run(params))  # compile + warm
+        float(run(g, params))  # compile + warm
         t0 = time.time()
-        float(run(params))
+        float(run(g, params))
         dt = (time.time() - t0) / iters
         print(json.dumps({
             "op": "gat_train_step", "config": name, "N": n,
