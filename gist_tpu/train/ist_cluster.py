@@ -116,13 +116,15 @@ def train_ist_cluster(
     if normalize:
         ds.normalize_features()
     mesh = mesh or make_subnet_mesh(K)
-    # GAT consumes the v1 gather tile layout (fused attention kernel);
-    # SAGE/GCN the block-dense dedup layout — the sampler builds the
-    # right one so `--spmm-backend auto` composes without caller flags
+    # All model kinds consume the block-dense dedup layout since round
+    # 4: the dedup attention kernel (multi-head batched, fused
+    # scatter-free backward) measures 164 ms/step vs 639 ms on the v1
+    # gather path at 2.3M edges (results/r4_gat_train_*.jsonl) — the
+    # sampler builds it so `--spmm-backend auto` composes without
+    # caller flags
     sampler = ClusterSampler(ds, psize, batch_size, use_pp=use_pp,
                              cache_dir=cache_dir, seed=tc.seed,
-                             tile_mode="gather" if kind == "gat"
-                             else "dedup")
+                             tile_mode="dedup")
     full_graph = graph_from_edges(ds.senders, ds.receivers, ds.n_nodes)
     fx = jnp.asarray(ds.features)
     flabels = jnp.asarray(ds.labels)
