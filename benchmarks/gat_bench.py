@@ -101,6 +101,10 @@ def main(argv=None):
                    choices=["gather", "dedup"],
                    help="tile layout for the pallas rows "
                         "(dedup = the round-4 unique-sender kernel)")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="z dtype for the forward bench (bf16 rides the "
+                        "single-matmul fast path in the kernels)")
     p.add_argument("--train-step", action="store_true",
                    help="benchmark a full GAT train step (fwd+bwd+Adam) "
                         "fused-bwd vs xla-bwd vs pure-xla")
@@ -133,6 +137,8 @@ def main(argv=None):
                           "unique_slots": uniq,
                           "dedup_ratio": round(uniq / e, 3)}), flush=True)
     z = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    if args.dtype == "bfloat16":
+        z = z.astype(jnp.bfloat16)
     a = jnp.asarray(rng.standard_normal(n).astype(np.float32))
     b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
 
@@ -155,6 +161,7 @@ def main(argv=None):
         dt = (time.time() - t0) / args.iters
         print(json.dumps({
             "op": "gat_attention", "backend": name, "N": n, "E": e, "D": d,
+            "dtype": args.dtype,
             "ms": round(dt * 1e3, 3), "edges_per_sec": round(e / dt, 1)}),
             flush=True)
 
