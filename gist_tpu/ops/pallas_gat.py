@@ -759,22 +759,44 @@ def _gat_dedup_bwd(negative_slope, res, g):
 gat_attention_dedup.defvjp(_gat_dedup_fwd, _gat_dedup_bwd)
 
 
+def _mh_tiles_forward(t, n: int, z, src_score, dst_score, negative_slope):
+    """Multi-head batched forward over a bare DedupTiles layout:
+    z (n, H, O), src/dst (n, H) -> (out (n, H, O) NORMALIZED over the
+    layout's edges, m_rows (n, H), l_rows (n, H)) — the per-row
+    running max / denominator let callers MERGE this partial softmax
+    with other edge populations (the sharded interior/boundary split:
+    parallel/layers.py)."""
+    out, m, l = _mh_tiles_raw(t, n, z, src_score, dst_score,
+                              negative_slope)
+    # per-row per-head columns: head h's lane block starts at h*128
+    m_rows, l_rows = m[:, ::128], l[:, ::128]
+    if t.pos is not None:
+        m_rows = jnp.take(m_rows, t.pos, axis=0)
+        l_rows = jnp.take(l_rows, t.pos, axis=0)
+    else:
+        m_rows, l_rows = m_rows[:n], l_rows[:n]
+    return out, m_rows, l_rows
+
+
 def _gat_forward_dedup_mh(graph, z, src_score, dst_score, negative_slope):
     """Multi-head batched forward: z (N, H, O), src/dst (N, H) ->
     (out (N, H, O), m (pad_rows, H*128), l (pad_rows, H*128)).  One
     unique-row gather and one w-block read per job serve every head."""
-    t = graph.dedup
+    return _mh_tiles_raw(graph.dedup, graph.n_nodes, z, src_score,
+                         dst_score, negative_slope)
+
+
+def _mh_tiles_raw(t, n, z, src_score, dst_score, negative_slope):
     TN, CU = t.tile_rows, t.cu
     num_tiles = t.num_tiles
     pad_rows = num_tiles * TN
-    n = graph.n_nodes
     H, O = z.shape[1], z.shape[2]
     DP = -(-O // 128) * 128
     if DP != O:
         z_flat = jnp.pad(z, ((0, 0), (0, 0), (0, DP - O)))
     else:
         z_flat = z
-    z_flat = z_flat.reshape(n, H * DP)
+    z_flat = z_flat.reshape(z.shape[0], H * DP)
     if t.perm is not None:
         z_p = jnp.take(z_flat, t.perm, axis=0)
         src_p = jnp.take(src_score, t.perm, axis=0)

@@ -94,9 +94,26 @@ def sharded_gat_attention(sg: ShardedGraph, z_loc, src_s, dst_s, dev,
     halo = sharded_halo(sg, payload, dev, halo_dtype)
     z_h = halo[:, :heads * d_out].reshape(-1, heads, d_out)
     src_h = halo[:, heads * d_out:]
+    aux = {k: dev[k] for k in ("int_s", "int_r", "bnd_s", "bnd_r")}
+    if "int_dedup" in dev:
+        # round 4: interior edges through the dedup attention kernel's
+        # partial softmax, merged with the boundary segment partials by
+        # (m, l, acc); backward = exact recompute of the local segment
+        # math (halo cotangents flow through the vjp's z_h/src_h slots)
+        aux["int_dedup"] = dev["int_dedup"]
+        att = _gat_local_hybrid_fn(n_pad, negative_slope)
+        return att(aux, z_loc, src_s, dst_s, z_h, src_h)
+    return _gat_local_segments(aux, z_loc, src_s, dst_s, z_h, src_h,
+                               n_pad, negative_slope)
 
-    int_s, int_r = dev["int_s"], dev["int_r"]
-    bnd_s, bnd_r = dev["bnd_s"], dev["bnd_r"]
+
+def _gat_local_segments(aux, z_loc, src_s, dst_s, z_h, src_h,
+                        n_pad, negative_slope):
+    """Post-halo attention via XLA segment ops over the interior +
+    boundary edge lists (the reference math, and the exact-vjp body
+    the hybrid path's backward recomputes)."""
+    int_s, int_r = aux["int_s"], aux["int_r"]
+    bnd_s, bnd_r = aux["bnd_s"], aux["bnd_r"]
     # mode="clip" everywhere: padding receivers == n_loc_pad would
     # otherwise fill NaN and poison gradients (models/gat.py:106-110)
     e_int = jax.nn.leaky_relu(
@@ -134,3 +151,70 @@ def sharded_gat_attention(sg: ShardedGraph, z_loc, src_s, dst_s, dev,
 
     return _wsum(x_int, int_r, z_loc, int_s) + _wsum(x_bnd, bnd_r, z_h,
                                                      bnd_s)
+
+
+def _gat_local_hybrid(aux, z_loc, src_s, dst_s, z_h, src_h,
+                      n_pad, negative_slope):
+    """Interior edges through the dedup attention kernel (partial
+    softmax: normalized out + per-row running max m_i / denominator
+    l_i), boundary edges through segment partials, merged exactly:
+
+        m = max(m_i, m_b);  l = l_i e^{m_i-m} + l_b e^{m_b-m}
+        out = (out_i l_i e^{m_i-m} + acc_b e^{m_b-m}) / l
+
+    The -1e30 empty sentinel keeps every term finite (e^{0} paths)."""
+    from gist_tpu.ops.pallas_gat import NEG_INF, _mh_tiles_forward
+
+    out_i, m_i, l_i = _mh_tiles_forward(
+        aux["int_dedup"], n_pad, z_loc, src_s, dst_s, negative_slope)
+    acc_i = out_i * l_i[..., None]                          # (n, H, O)
+
+    bnd_s, bnd_r = aux["bnd_s"], aux["bnd_r"]
+    e_bnd = jax.nn.leaky_relu(
+        jnp.take(src_h, bnd_s, axis=0, mode="clip")
+        + jnp.take(dst_s, bnd_r, axis=0, mode="clip"), negative_slope)
+    m_b = jax.ops.segment_max(e_bnd, bnd_r, num_segments=n_pad,
+                              indices_are_sorted=True)
+    m_b = jnp.where(jnp.isfinite(m_b), m_b, NEG_INF)
+    g = jnp.take(m_b, jnp.minimum(bnd_r, n_pad - 1), axis=0)
+    valid = (bnd_r < n_pad)[:, None]
+    x_b = jnp.where(valid, jnp.exp(jnp.minimum(e_bnd - g, 0.0)), 0.0)
+    l_b = jax.ops.segment_sum(x_b, bnd_r, num_segments=n_pad,
+                              indices_are_sorted=True)
+    acc_b = jax.ops.segment_sum(
+        jnp.take(z_h, bnd_s, axis=0, mode="clip") * x_b[:, :, None],
+        bnd_r, num_segments=n_pad, indices_are_sorted=True)
+
+    m = jnp.maximum(m_i, m_b)
+    si = jnp.exp(m_i - m)
+    sb = jnp.exp(m_b - m)
+    l = l_i * si + l_b * sb
+    out = (acc_i * si[..., None] + acc_b * sb[..., None]) \
+        / jnp.maximum(l, 1e-20)[..., None]
+    return jnp.where(l[..., None] > 0, out, 0.0)
+
+
+def _gat_local_hybrid_fn(n_pad: int, negative_slope: float):
+    """custom_vjp wrapper: kernel-accelerated forward, exact
+    segment-recompute backward (same shape as graph_shard._dedup_agg_fn
+    — aux arrays get a None cotangent)."""
+
+    @jax.custom_vjp
+    def att(aux, z_loc, src_s, dst_s, z_h, src_h):
+        return _gat_local_hybrid(aux, z_loc, src_s, dst_s, z_h, src_h,
+                                 n_pad, negative_slope)
+
+    def fwd(aux, z_loc, src_s, dst_s, z_h, src_h):
+        return att(aux, z_loc, src_s, dst_s, z_h, src_h), \
+            (aux, z_loc, src_s, dst_s, z_h, src_h)
+
+    def bwd(res, g):
+        aux, z_loc, src_s, dst_s, z_h, src_h = res
+        _, vjp = jax.vjp(
+            lambda z, a, b, zh, sh: _gat_local_segments(
+                aux, z, a, b, zh, sh, n_pad, negative_slope),
+            z_loc, src_s, dst_s, z_h, src_h)
+        return (None,) + vjp(g)
+
+    att.defvjp(fwd, bwd)
+    return att

@@ -259,3 +259,48 @@ def test_sharded_gcn_dropout_trains():
         losses.append(float(loss))
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_sharded_gat_interior_dedup_kernel_matches_segments():
+    """Round 4: interior edges through the dedup attention kernel's
+    partial softmax, merged with boundary segment partials — must
+    reproduce the segment-only sharded forward AND its gradients
+    (the hybrid backward recomputes the exact segment math)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gist_tpu.models import gat
+    from gist_tpu.parallel.train import build_sharded_infer, \
+        build_sharded_step
+
+    ds = synthetic_dataset("synth-tiny")
+    d = 4
+    mesh = Mesh(np.asarray(jax.devices()[:d]), ("graph",))
+    sg_k = build_sharded_graph(ds.senders, ds.receivers, ds.n_nodes, d,
+                               interior_tiles=True)
+    assert sg_k.int_dedup is not None
+    sg_s = build_sharded_graph(ds.senders, ds.receivers, ds.n_nodes, d)
+    cfg = gat.GATConfig(ds.in_feats, 16, ds.n_classes, n_layers=2,
+                        n_heads=2)
+    params = gat.init(jax.random.PRNGKey(0), cfg)
+    xs = shard_features(sg_k, ds.features, mesh)
+    labels_sh, mask_sh = _shard_labels(sg_k, ds)
+
+    def run(sg, interpret):
+        init_opt, step = build_sharded_step(sg, mesh, kind="gat",
+                                            lr=1e-2, weight_decay=0.0)
+        p_sh, st = params, init_opt(params)
+        losses = []
+        ctx = pltpu.force_tpu_interpret_mode() if interpret else \
+            __import__("contextlib").nullcontext()
+        with ctx:
+            for _ in range(3):
+                p_sh, st, loss = step(p_sh, st, xs, labels_sh, mask_sh)
+                losses.append(float(loss))
+            infer = build_sharded_infer(sg, mesh, kind="gat")
+            out = np.asarray(unshard(sg, infer(p_sh, xs)))
+        return losses, out
+
+    losses_k, out_k = run(sg_k, interpret=True)
+    losses_s, out_s = run(sg_s, interpret=False)
+    np.testing.assert_allclose(losses_k, losses_s, rtol=2e-3)
+    np.testing.assert_allclose(out_k, out_s, rtol=2e-2, atol=2e-3)
