@@ -204,6 +204,25 @@ def train_ist_ultrawide(
                     os.path.join(checkpoint_dir, f"round_{rnd}"),
                     {"params": full_params, "round": rnd,
                      "drop_key": np.asarray(drop_key)})
+                # partial-progress artifact: a timeout-killed run still
+                # leaves its curve + timing on disk (atomic rename)
+                import json
+                part = {
+                    "partial": True, "round": rnd, "n_rounds": n_rounds,
+                    "dataset": ds.name, "num_subnet": K,
+                    "train_time": total_time, "val_accs": val_accs,
+                    "test_accs": test_accs, "losses": losses,
+                    "round_wall_s": round_wall, "host_prep_s": host_prep,
+                    "device_sync_s": device_sync,
+                    "eval_rounds": eval_rounds,
+                    "train_time_at_eval": train_time_at_eval,
+                    "eval_wall_s": eval_wall,
+                    "loadavg_1m": loadavg_1m, "rss_gb": rss_gb,
+                }
+                pp = os.path.join(checkpoint_dir, "progress.json")
+                with open(pp + ".tmp", "w") as f:
+                    json.dump(part, f)
+                os.replace(pp + ".tmp", pp)
 
     results = {
         "dataset": ds.name, "num_subnet": K, "train_time": total_time,
