@@ -24,10 +24,17 @@ each eval to data/uw_ckpt_h{H}_k{K} and resumes from there, so a
 killed run continues instead of restarting.
 """
 import os, json, time
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=8").strip()
+BACKEND = os.environ.get("UW_BACKEND", "cpu-mesh")
+if BACKEND == "cpu-mesh":
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8"
+                               ).strip()
 import jax
-jax.config.update("jax_platforms", "cpu")
+if BACKEND == "cpu-mesh":
+    jax.config.update("jax_platforms", "cpu")
+# UW_BACKEND=tpu: run on the real chip — K subnets SEQUENTIALLY on one
+# device via the single-device burst (train_ist_ultrawide sequential
+# mode); the full-width model stays in host numpy either way
 import numpy as np
 from gist_tpu.data import synthetic_dataset
 from gist_tpu.models import sage
@@ -54,16 +61,25 @@ tc = TrainConfig(lr=float(os.environ.get("UW_LR", "1e-2")),
 eval_every = int(os.environ.get("UW_EVAL_EVERY", "1"))
 tag = os.environ.get("UW_TAG", "r4")
 ckpt = os.environ.get("UW_CKPT", f"data/uw_ckpt_h{H}_k{K}")
+sequential = None
+if BACKEND == "tpu":
+    dev = jax.devices()[0]
+    hw = f"{dev.device_kind} x1 (sequential subnets)"
+    sequential = True
+else:
+    hw = "cpu-mesh-8"
 t0 = time.time()
 res = train_ist_ultrawide(ds, cfg, tc, psize=15000, batch_size=10,
                           use_f1=True, cache_dir="data",
                           eval_every_rounds=eval_every,
-                          checkpoint_dir=ckpt or None, verbose=True)
+                          checkpoint_dir=ckpt or None,
+                          sequential=sequential, verbose=True)
 res["wall_time"] = time.time() - t0
+res["hardware"] = hw
 res["config"] = {"n_hidden": H, "n_layers": 4, "num_subnet": K,
                  "psize": 15000, "batch_size": 10, "iter_per_site": 750,
                  "n_epochs": tc.n_epochs, "eval_every_rounds": eval_every,
-                 "lr": tc.lr, "mesh": "8-device CPU"}
+                 "lr": tc.lr, "mesh": hw}
 out = f"results/{tag}_amazon_uw_fullscale_h{H}_k{K}.json"
 write_results(res, out)
 print(f"WROTE {out}", flush=True)

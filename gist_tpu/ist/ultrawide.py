@@ -227,6 +227,50 @@ def build_local_burst(model, sub_cfg, *, mesh: Mesh, weight_decay: float):
     return jax.jit(burst)
 
 
+def build_local_burst_single(model, sub_cfg, *, weight_decay: float):
+    """Single-device variant of :func:`build_local_burst` for running K
+    subnets SEQUENTIALLY on one chip — the ultra-wide analog of the
+    reference's single-process simulation loop (train_ist.py:209-225),
+    here with host-resident full-width globals (ultra_wide.py:78-86).
+
+    jitted: (sub UNstacked, batches, lr, key, subnet_id, tables) ->
+    (trained sub, losses).  ``subnet_id`` is a traced scalar so ONE
+    compilation serves all K subnets; the key fold matches the
+    shard_map path's ``fold_in(key, axis_index('subnet'))`` exactly, so
+    sequential and mesh execution produce the same trained shards."""
+    opt = optax.inject_hyperparams(make_optimizer,
+                                   static_args=("weight_decay",))(
+        lr=1e-2, weight_decay=weight_decay)
+
+    def burst(sub, batches, lr, key, subnet_id, tables):
+        key = jax.random.fold_in(key, subnet_id)
+        opt_state = opt.init(sub)
+        opt_state.hyperparams["lr"] = lr
+
+        def body(carry, batch):
+            sub, opt_state, key = carry
+            key, dk = jax.random.split(key)
+            from gist_tpu.sampler import ClusterSampler
+            graph, feats, labels, mask = ClusterSampler.resolve_batch(
+                batch, tables)
+
+            def loss_fn(p):
+                logits = model.apply(p, graph, feats, sub_cfg, train=True,
+                                     dropout_key=dk)
+                return masked_cross_entropy(logits, labels, mask)
+
+            loss, grads = jax.value_and_grad(loss_fn)(sub)
+            updates, opt_state = opt.update(grads, opt_state, sub)
+            sub = optax.apply_updates(sub, updates)
+            return (sub, opt_state, key), loss
+
+        (sub, _, _), losses = jax.lax.scan(body, (sub, opt_state, key),
+                                           batches)
+        return sub, losses
+
+    return jax.jit(burst)
+
+
 def shard_over_subnets(mesh: Mesh, stacked_np: dict):
     """device_put the host-stacked shards so each device holds only its
     own subnet's slice (leading axis sharded over the mesh)."""

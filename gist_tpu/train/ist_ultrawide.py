@@ -16,8 +16,10 @@ from gist_tpu.data.container import Dataset
 from gist_tpu.graph import graph_from_edges
 from gist_tpu.ist.distributed import make_subnet_mesh
 from gist_tpu.ist.partition import boundary_sizes
-from gist_tpu.ist.ultrawide import (build_local_burst, dispatch_host,
-                                    merge_host, sample_boundaries_host,
+from gist_tpu.ist.ultrawide import (build_local_burst,
+                                    build_local_burst_single,
+                                    dispatch_host, merge_host,
+                                    sample_boundaries_host,
                                     shard_over_subnets)
 from gist_tpu.models import sage
 from gist_tpu.models.common import micro_f1
@@ -43,12 +45,23 @@ def train_ist_ultrawide(
     eval_on_cpu: bool = True,
     eval_every_rounds: int = 1,
     checkpoint_dir: Optional[str] = None,
+    sequential: Optional[bool] = None,
     verbose: bool = True,
 ) -> dict:
+    """``sequential=True`` runs the K subnets one after another on a
+    single device instead of over a K-device ``subnet`` mesh — the
+    ultra-wide analog of the reference's single-process simulation
+    (train_ist.py:209-225): only one 1/K-width sub-model (plus its
+    optimizer state) is ever resident on the chip, so hidden widths
+    beyond HBM still train on ONE accelerator.  Defaults to automatic:
+    sequential iff no mesh was passed and fewer than K devices exist."""
     K = tc.num_subnet
     if normalize:
         ds.normalize_features()
-    mesh = mesh or make_subnet_mesh(K)
+    if sequential is None:
+        sequential = mesh is None and len(jax.devices()) < K
+    if not sequential:
+        mesh = mesh or make_subnet_mesh(K)
     sampler = ClusterSampler(ds, psize, batch_size, use_pp=use_pp,
                              cache_dir=cache_dir, seed=tc.seed)
 
@@ -63,12 +76,18 @@ def train_ist_ultrawide(
     sizes = boundary_sizes(model_cfg.in_feats, model_cfg.n_hidden,
                            model_cfg.n_layers, split_input=False,
                            split_output=True)
-    burst_fn = build_local_burst(model, sub_cfg, mesh=mesh,
-                                 weight_decay=tc.weight_decay)
+    if sequential:
+        burst_fn = build_local_burst_single(model, sub_cfg,
+                                            weight_decay=tc.weight_decay)
+    else:
+        burst_fn = build_local_burst(model, sub_cfg, mesh=mesh,
+                                     weight_decay=tc.weight_decay)
 
     # full-graph eval on the CPU backend (--eval-cpu, cluster_gcn.py:110-127)
-    eval_device = (jax.devices("cpu")[0] if eval_on_cpu
-                   else jax.devices()[0])
+    # resolved lazily: the chunked host eval never needs a jax CPU device
+    def _eval_device():
+        return (jax.devices("cpu")[0] if eval_on_cpu
+                else jax.devices()[0])
     eval_graph = None
 
     # full-graph eval at ultra-wide widths: activations (N x 2h fp32
@@ -84,7 +103,7 @@ def train_ist_ultrawide(
                                         ds.receivers, ds.features,
                                         model_cfg)
         else:
-            with jax.default_device(eval_device):
+            with jax.default_device(_eval_device()):
                 if eval_graph is None:
                     eval_graph = graph_from_edges(ds.senders, ds.receivers,
                                                   ds.n_nodes)
@@ -150,6 +169,43 @@ def train_ist_ultrawide(
                 resource.RUSAGE_SELF).ru_maxrss / 2 ** 20, 2))
         except Exception:
             pass
+    def _do_eval(rnd):
+        te0 = time.time()
+        va, ta = evaluate(full_params)
+        eval_wall.append(time.time() - te0)
+        eval_rounds.append(rnd)
+        train_time_at_eval.append(total_time)
+        val_accs.append(va)
+        test_accs.append(ta)
+        if verbose:
+            print(f"round {rnd}/{n_rounds}: loss {losses[-1]:.4f} "
+                  f"val {va:.4f}", flush=True)
+        if checkpoint_dir:
+            import os
+            save_checkpoint(
+                os.path.join(checkpoint_dir, f"round_{rnd}"),
+                {"params": full_params, "round": rnd,
+                 "drop_key": np.asarray(drop_key)})
+            # partial-progress artifact: a timeout-killed run still
+            # leaves its curve + timing on disk (atomic rename)
+            import json
+            part = {
+                "partial": True, "round": rnd, "n_rounds": n_rounds,
+                "dataset": ds.name, "num_subnet": K,
+                "train_time": total_time, "val_accs": val_accs,
+                "test_accs": test_accs, "losses": losses,
+                "round_wall_s": round_wall, "host_prep_s": host_prep,
+                "device_sync_s": device_sync,
+                "eval_rounds": eval_rounds,
+                "train_time_at_eval": train_time_at_eval,
+                "eval_wall_s": eval_wall,
+                "loadavg_1m": loadavg_1m, "rss_gb": rss_gb,
+            }
+            pp = os.path.join(checkpoint_dir, "progress.json")
+            with open(pp + ".tmp", "w") as f:
+                json.dump(part, f)
+            os.replace(pp + ".tmp", pp)
+
     if start_round >= n_rounds:
         va, ta = evaluate(full_params)
         val_accs.append(va)
@@ -160,9 +216,41 @@ def train_ist_ultrawide(
     for rnd in range(start_round, n_rounds):
         t0 = time.time()
         bnds = sample_boundaries_host(host_rng, sizes, K)
+        drop_key, dk = jax.random.split(drop_key)
+        if sequential:
+            # one subnet on the device at a time (HBM holds 1/K width);
+            # next round's batch collection overlaps subnet 0's burst
+            shards_np = dispatch_host(full_params, bnds, K, kind)
+            t1 = time.time()
+            trained_list, loss_list, t_prep = [], [], 0.0
+            for s in range(K):
+                sub = jax.tree.map(lambda a: jnp.asarray(a[s]), shards_np)
+                sub, rl = burst_fn(sub, stacked_batches,
+                                   jnp.asarray(tc.lr), dk,
+                                   jnp.asarray(s), tables)
+                if s == 0 and rnd + 1 < n_rounds:
+                    tp = time.time()
+                    next_batches = _stack_batches(collector.collect())
+                    t_prep = time.time() - tp
+                trained_list.append(jax.tree.map(np.asarray, sub))
+                loss_list.append(np.asarray(rl))
+            trained = jax.tree.map(lambda *xs: np.stack(xs),
+                                   *trained_list)
+            t3 = time.time()
+            full_params = merge_host(full_params, bnds, trained, K, kind)
+            if rnd + 1 < n_rounds:
+                stacked_batches = next_batches
+            total_time += time.time() - t0
+            round_wall.append(time.time() - t0)
+            host_prep.append(t_prep)
+            device_sync.append(t3 - t1 - t_prep)
+            losses.append(float(np.mean(np.asarray(loss_list))))
+            _sysstat()
+            if (rnd + 1) % eval_every_rounds == 0 or rnd == n_rounds - 1:
+                _do_eval(rnd)
+            continue
         shards = shard_over_subnets(mesh, dispatch_host(
             full_params, bnds, K, kind))       # one H2D per round
-        drop_key, dk = jax.random.split(drop_key)
         # async dispatch: burst_fn returns futures immediately, so the
         # next round's host-side batch collection/padding runs WHILE the
         # device executes the burst (round wall ~ max(burst, host prep)
@@ -188,41 +276,7 @@ def train_ist_ultrawide(
         losses.append(float(np.mean(np.asarray(rl))))
         _sysstat()
         if (rnd + 1) % eval_every_rounds == 0 or rnd == n_rounds - 1:
-            te0 = time.time()
-            va, ta = evaluate(full_params)
-            eval_wall.append(time.time() - te0)
-            eval_rounds.append(rnd)
-            train_time_at_eval.append(total_time)
-            val_accs.append(va)
-            test_accs.append(ta)
-            if verbose:
-                print(f"round {rnd}/{n_rounds}: loss {losses[-1]:.4f} "
-                      f"val {va:.4f}", flush=True)
-            if checkpoint_dir:
-                import os
-                save_checkpoint(
-                    os.path.join(checkpoint_dir, f"round_{rnd}"),
-                    {"params": full_params, "round": rnd,
-                     "drop_key": np.asarray(drop_key)})
-                # partial-progress artifact: a timeout-killed run still
-                # leaves its curve + timing on disk (atomic rename)
-                import json
-                part = {
-                    "partial": True, "round": rnd, "n_rounds": n_rounds,
-                    "dataset": ds.name, "num_subnet": K,
-                    "train_time": total_time, "val_accs": val_accs,
-                    "test_accs": test_accs, "losses": losses,
-                    "round_wall_s": round_wall, "host_prep_s": host_prep,
-                    "device_sync_s": device_sync,
-                    "eval_rounds": eval_rounds,
-                    "train_time_at_eval": train_time_at_eval,
-                    "eval_wall_s": eval_wall,
-                    "loadavg_1m": loadavg_1m, "rss_gb": rss_gb,
-                }
-                pp = os.path.join(checkpoint_dir, "progress.json")
-                with open(pp + ".tmp", "w") as f:
-                    json.dump(part, f)
-                os.replace(pp + ".tmp", pp)
+            _do_eval(rnd)
 
     results = {
         "dataset": ds.name, "num_subnet": K, "train_time": total_time,

@@ -79,6 +79,29 @@ def test_ultrawide_training_smoke():
     assert res["best_val"] > 0.3, res
 
 
+def test_ultrawide_sequential_matches_mesh():
+    """The single-device sequential path (K subnets one after another on
+    one chip — how the ultra-wide headline runs on a 1-chip TPU host)
+    must produce the SAME trained model as the K-device shard_map path:
+    identical batch stream, identical per-subnet key folds, host merge
+    is shared.  Compared via the full val curve."""
+    from gist_tpu.train.ist_ultrawide import train_ist_ultrawide
+
+    ds = synthetic_dataset("synth-tiny")
+    cfg = sage.SAGEConfig(ds.in_feats, 16, ds.n_classes, n_layers=2,
+                          dropout=0.3)
+    tc = TrainConfig(lr=3e-2, weight_decay=0.0, n_epochs=8, num_subnet=2,
+                     iter_per_site=2)
+    r_mesh = train_ist_ultrawide(ds, cfg, tc, psize=4, batch_size=2,
+                                 sequential=False, verbose=False)
+    ds2 = synthetic_dataset("synth-tiny")
+    r_seq = train_ist_ultrawide(ds2, cfg, tc, psize=4, batch_size=2,
+                                sequential=True, verbose=False)
+    np.testing.assert_allclose(r_seq["val_accs"], r_mesh["val_accs"])
+    np.testing.assert_allclose(r_seq["losses"], r_mesh["losses"],
+                               rtol=1e-5)
+
+
 def test_ultrawide_checkpoint_resume(tmp_path):
     from gist_tpu.train.ist_ultrawide import train_ist_ultrawide
 
