@@ -33,8 +33,8 @@ def main(argv=None):
     p.add_argument("--ist-subnets", type=int, default=1,
                    help="> 1 trains on the 2-D (subnet, graph) mesh: "
                         "IST hidden-width sharding composed with graph "
-                        "sharding (sage only); devices = subnets x "
-                        "graph shards")
+                        "sharding, any --model family; devices = "
+                        "subnets x graph shards")
     p.add_argument("--iter_per_site", type=int, default=8,
                    help="local full-graph steps per IST round "
                         "(2-D mode; --n-epochs counts rounds there)")
@@ -68,7 +68,8 @@ def main(argv=None):
 
     d = args.n_devices or jax.device_count()
     if args.ist_subnets > 1:
-        return _main_2d(args, ds, d)
+        # senders/receivers carry the GCN self-loops added above
+        return _main_2d(args, ds, d, senders, receivers)
     mesh = Mesh(np.asarray(jax.devices()[:d]), ("graph",))
     sg = build_sharded_graph(senders, receivers, ds.n_nodes, d)
     print(f"sharded over {d} devices: n_loc_pad={sg.n_loc_pad} "
@@ -160,13 +161,16 @@ def main(argv=None):
     return results
 
 
-def _main_2d(args, ds, d):
+def _main_2d(args, ds, d, senders, receivers):
     """2-D (subnet, graph) training: IST rounds whose local steps run
-    the graph-sharded forward.  --n-epochs counts ROUNDS; each round
-    does --iter_per_site full-graph steps per subnet, then one
-    all_gather sync merge.  Eval runs the merged full-width model on
-    the flat graph host-side (fine at CPU-mesh scales; large graphs
-    should eval through the sharded infer instead)."""
+    the graph-sharded forward of the requested family (sage | gcn |
+    gat — GAT-IST semantics per ist_distrib_gat.py:96-205).
+    --n-epochs counts ROUNDS; each round does --iter_per_site
+    full-graph steps per subnet, then one all_gather sync merge.  Eval
+    runs the merged full-width model on the flat graph host-side (fine
+    at CPU-mesh scales; large graphs should eval through the sharded
+    infer instead).  ``senders``/``receivers`` carry the GCN
+    self-loops added by main()."""
     import time
 
     import jax
@@ -174,7 +178,7 @@ def _main_2d(args, ds, d):
 
     import gist_tpu.graph as G
     from gist_tpu.ist.partition import boundary_sizes, sample_boundaries
-    from gist_tpu.models import sage
+    from gist_tpu.models import gat, gcn, sage
     from gist_tpu.models.common import micro_f1
     from gist_tpu.parallel import build_sharded_graph
     from gist_tpu.parallel.graph_shard import shard_features
@@ -182,9 +186,6 @@ def _main_2d(args, ds, d):
                                                make_ist_graph_mesh)
     from gist_tpu.train.common import write_results
 
-    if args.model != "sage":
-        raise SystemExit("--ist-subnets > 1 currently supports "
-                         "--model sage only")
     S = args.ist_subnets
     if d % S:
         raise SystemExit(f"--n-devices {d} not divisible by "
@@ -192,7 +193,7 @@ def _main_2d(args, ds, d):
     Gd = d // S
     use_ln = str2bool(args.use_layernorm)
     mesh = make_ist_graph_mesh(S, Gd)
-    sg = build_sharded_graph(ds.senders, ds.receivers, ds.n_nodes, Gd)
+    sg = build_sharded_graph(senders, receivers, ds.n_nodes, Gd)
     print(f"2-D mesh: subnet={S} x graph={Gd}; n_loc_pad={sg.n_loc_pad}")
 
     xs = shard_features(sg, ds.features, mesh)
@@ -203,22 +204,39 @@ def _main_2d(args, ds, d):
     msk[perm] = ds.train_mask
     lab, msk = jnp.asarray(lab), jnp.asarray(msk)
 
-    cfg = sage.SAGEConfig(ds.in_feats, args.n_hidden, ds.n_classes,
-                          n_layers=args.n_layers, dropout=0.0,
-                          use_layernorm=use_ln)
-    full = sage.init(jax.random.PRNGKey(args.rnd_seed), cfg)
+    if args.model == "sage":
+        model = sage
+        cfg = sage.SAGEConfig(ds.in_feats, args.n_hidden, ds.n_classes,
+                              n_layers=args.n_layers, dropout=0.0,
+                              use_layernorm=use_ln)
+    elif args.model == "gcn":
+        model = gcn
+        cfg = gcn.GCNConfig(ds.in_feats, args.n_hidden, ds.n_classes,
+                            n_layers=args.n_layers, dropout=0.0,
+                            use_layernorm=use_ln)
+    else:
+        model = gat
+        cfg = gat.GATConfig(ds.in_feats, args.n_hidden, ds.n_classes,
+                            n_layers=max(args.n_layers, 2),
+                            n_heads=args.n_heads)
+    full = model.init(jax.random.PRNGKey(args.rnd_seed), cfg)
+    # GAT never splits the last hidden boundary (ist_distrib_gat.py:
+    # 88-94) — its shared last-layer attention would train against
+    # disjoint halves and the merged model regresses
     sizes = boundary_sizes(cfg.in_feats, cfg.n_hidden, cfg.n_layers,
-                           split_input=False, split_output=True)
+                           split_input=False,
+                           split_output=args.model != "gat")
     hdt = jnp.bfloat16 if args.halo_dtype == "bfloat16" else None
     round_fn = build_ist_sharded_round(
-        sg, mesh, num_subnet=S, weight_decay=args.weight_decay,
+        sg, mesh, num_subnet=S, kind=args.model,
+        weight_decay=args.weight_decay,
         use_layernorm=use_ln, n_steps=args.iter_per_site, halo_dtype=hdt)
 
-    g_flat = G.graph_from_edges(ds.senders, ds.receivers, ds.n_nodes)
+    g_flat = G.graph_from_edges(senders, receivers, ds.n_nodes)
     x_flat = jnp.asarray(ds.features)
 
     def evaluate(params):
-        logits = np.asarray(sage.apply(params, g_flat, x_flat, cfg))
+        logits = np.asarray(model.apply(params, g_flat, x_flat, cfg))
         if args.use_f1:
             return (micro_f1(logits, ds.labels, ds.val_mask),
                     micro_f1(logits, ds.labels, ds.test_mask))
@@ -246,7 +264,7 @@ def _main_2d(args, ds, d):
               flush=True)
 
     results = {
-        "dataset": ds.name, "model": "sage", "mesh_2d": [S, Gd],
+        "dataset": ds.name, "model": args.model, "mesh_2d": [S, Gd],
         "n_devices": d, "iter_per_site": args.iter_per_site,
         "train_time": total, "final_test_acc": test_accs[-1],
         "best_val_acc": max(val_accs), "best_test_acc": max(test_accs),

@@ -27,8 +27,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from gist_tpu.ist.slicing import dispatch, merge
 from gist_tpu.parallel.graph_shard import ShardedGraph
-# the sub-model forward is the shared graph-sharded SAGE stack
-from gist_tpu.parallel.train import device_arrays, sharded_sage_forward
+# the sub-model forward is the shared graph-sharded stack of the
+# requested family (sage | gcn | gat), via parallel/train._forward
+from gist_tpu.parallel.train import _forward, device_arrays
 from gist_tpu.train.common import make_optimizer
 
 
@@ -79,9 +80,9 @@ def build_ist_sharded_round(
         key = jax.random.fold_in(key, s)
 
         def loss_fn(p):
-            logits = sharded_sage_forward(
-                sg, p, x_loc, dev, use_layernorm=use_layernorm,
-                halo_dtype=halo_dtype)
+            logits = _forward(kind, sg, p, x_loc, dev,
+                              use_layernorm=use_layernorm,
+                              halo_dtype=halo_dtype)
             logp = jax.nn.log_softmax(logits, axis=-1)
             nll = -jnp.take_along_axis(logp, labels_loc[:, None],
                                        axis=-1)[:, 0]
