@@ -12,8 +12,8 @@ same dispatch), so their accuracy curves must coincide to float
 tolerance — recorded, not assumed.
 
 Env: IST2D_ROUNDS (default 12), IST2D_STEPS (per-round local steps,
-default 8), IST2D_HIDDEN (default 128).  Writes
-results/r4_ist_sharded_2d.json.
+default 8), IST2D_HIDDEN (default 128), IST2D_TAG (output prefix,
+default r4).  Writes results/{IST2D_TAG}_ist_sharded_2d.json.
 """
 import json
 import os
@@ -41,6 +41,7 @@ S, Gd = 2, 4
 ROUNDS = int(os.environ.get("IST2D_ROUNDS", "12"))
 STEPS = int(os.environ.get("IST2D_STEPS", "8"))
 HID = int(os.environ.get("IST2D_HIDDEN", "128"))
+TAG = os.environ.get("IST2D_TAG", "r4")
 LR = 1e-2
 
 ds = synthetic_dataset("synth-reddit-small")
@@ -134,9 +135,9 @@ out = {
     "ring_shifts_kept": len(sg.ring_shifts),
 }
 os.makedirs("results", exist_ok=True)
-with open("results/r4_ist_sharded_2d.json", "w") as f:
+with open(f"results/{TAG}_ist_sharded_2d.json", "w") as f:
     json.dump(out, f, indent=2, default=float)
 print(json.dumps({k: out[k] for k in
                   ("best_val_2d", "best_val_1d", "max_val_gap_2d_vs_1d")}),
       flush=True)
-print("WROTE results/r4_ist_sharded_2d.json", flush=True)
+print(f"WROTE results/{TAG}_ist_sharded_2d.json", flush=True)
