@@ -1,0 +1,156 @@
+"""Full-graph GAT attention at real-Reddit scale on one chip (VERDICT
+r4 missing #5): the dedup attention kernel topped out at flat-layout
+scale (2.32M edges measured); this runs the round-5 CHUNKED dedup
+attention (ops/pallas_gat.gat_attention_dedup_chunked, reusing the SpMM
+ChunkedDedupTiles layout) over synth-reddit-full — 233k nodes /
+~114.9M symmetrized edges, real Reddit's edge count — where one-shot
+gathered unique rows would exceed HBM.
+
+Measures:
+  * layout build wall (host, one global sort over 115M pairs),
+  * the multi-head fused attention forward (all heads per call),
+  * a full 2-layer gat.apply eval (logits + val micro-F1),
+  * correctness at full scale via an independent kernel: with all
+    scores zero, attention == mean aggregation, so the output must
+    match the chunked dedup SpMM times 1/in_deg (count-weighted
+    parallel edges agree on both sides).
+
+Env: GATC_DATASET (default synth-reddit-full), GATC_HIDDEN (128),
+GATC_HEADS (2), GATC_ITERS (3), GATC_DTYPE (float32|bfloat16),
+GATC_CHUNK_ROWS (2**21).  Writes results/r5_gat_chunked_fullreddit.json.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+DATASET = os.environ.get("GATC_DATASET", "synth-reddit-full")
+TAG = os.environ.get("GATC_TAG", "fullreddit")
+HID = int(os.environ.get("GATC_HIDDEN", "128"))
+HEADS = int(os.environ.get("GATC_HEADS", "2"))
+ITERS = int(os.environ.get("GATC_ITERS", "3"))
+DTYPE = os.environ.get("GATC_DTYPE", "float32")
+CHUNK_ROWS = int(os.environ.get("GATC_CHUNK_ROWS", str(2 ** 21)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gist_tpu.data import synthetic_dataset
+    from gist_tpu.models import gat
+    from gist_tpu.models.common import micro_f1
+    from gist_tpu.ops.pallas_gat import gat_attention_dedup_chunked
+    from gist_tpu.ops.pallas_spmm import spmm_pallas_csr
+    from gist_tpu.utils import hardware_tag
+
+    t0 = time.time()
+    ds = synthetic_dataset(DATASET)
+    t_ds = time.time() - t0
+    E = len(ds.senders)
+    print(f"dataset {t_ds:.0f}s N={ds.n_nodes} E={E} "
+          f"F={ds.features.shape[1]}", flush=True)
+
+    import gist_tpu.graph as G
+    t0 = time.time()
+    g = G.graph_from_edges(ds.senders, ds.receivers, ds.n_nodes)
+    g = g.with_tiles(mode="dedup-chunked", chunk_rows=CHUNK_ROWS)
+    t_layout = time.time() - t0
+    t = g.dedup_c
+    assert t is not None, "chunked layout must build at this scale"
+    w_gib = t.w_blocks.size / 2 ** 30
+    print(f"layout {t_layout:.0f}s: chunks={t.n_chunks} "
+          f"tiles/chunk={t.tiles_per_chunk} jobs_pad={t.w_blocks.shape[1]} "
+          f"W={w_gib:.2f} GiB max_jobs={t.max_jobs}", flush=True)
+
+    dt = jnp.bfloat16 if DTYPE == "bfloat16" else jnp.float32
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.standard_normal(
+        (ds.n_nodes, HEADS, HID)).astype(np.float32)).astype(dt)
+    a = jnp.asarray(rng.standard_normal(
+        (ds.n_nodes, HEADS)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(
+        (ds.n_nodes, HEADS)).astype(np.float32))
+
+    fwd = jax.jit(lambda z, a, b: gat_attention_dedup_chunked(
+        g, z, a, b, 0.01))
+    out = fwd(z, a, b)
+    jax.block_until_ready(out)                   # compile + warm
+    walls = []
+    for _ in range(ITERS):
+        t0 = time.time()
+        jax.block_until_ready(fwd(z, a, b))
+        walls.append(time.time() - t0)
+    fwd_s = min(walls)
+    print(f"attention fwd ({HEADS} heads, D={HID}, {DTYPE}): "
+          f"{fwd_s * 1e3:.1f} ms ({E / fwd_s / 1e6:.1f}M edges/s; "
+          f"walls {['%.2f' % w for w in walls]})", flush=True)
+
+    # full-scale correctness: zero scores -> attention == mean agg ==
+    # chunked dedup SpMM / in_deg (independent kernel + runner)
+    z0 = z[:, 0].astype(jnp.float32)
+    zeros = jnp.zeros(ds.n_nodes, jnp.float32)
+    att = np.asarray(jax.jit(
+        lambda z, a, b: gat_attention_dedup_chunked(
+            g, z[:, None], a[:, None], b[:, None], 0.01)[:, 0]
+    )(z0, zeros, zeros))
+    agg = np.asarray(jax.jit(
+        lambda x: spmm_pallas_csr(g, x))(z0))
+    deg = np.asarray(g.in_degrees)[:, None]
+    want = np.where(deg > 0, agg / np.maximum(deg, 1.0), 0.0)
+    err = float(np.max(np.abs(att - want))
+                / max(float(np.max(np.abs(want))), 1e-9))
+    print(f"zero-score parity vs chunked SpMM/deg: rel err {err:.2e}",
+          flush=True)
+
+    # full 2-layer model eval: logits + val micro-F1 (the eval path
+    # the reference cannot run full-graph at this scale)
+    cfg = gat.GATConfig(ds.in_feats, HID, ds.n_classes, n_layers=2,
+                        n_heads=HEADS)
+    params = gat.init(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(ds.features)
+    apply_j = jax.jit(lambda p, xv: gat.apply(p, g, xv, cfg,
+                                              backend="pallas"))
+    logits = apply_j(params, x)
+    jax.block_until_ready(logits)                # compile + warm
+    t0 = time.time()
+    logits = apply_j(params, x)
+    jax.block_until_ready(logits)
+    eval_s = time.time() - t0
+    f1 = micro_f1(np.asarray(logits), ds.labels, ds.val_mask)
+    print(f"full 2-layer GAT eval: {eval_s:.2f} s "
+          f"(untrained val F1 {f1:.4f})", flush=True)
+
+    out = {
+        "dataset": DATASET, "n_nodes": ds.n_nodes, "n_edges": E,
+        "hidden": HID, "heads": HEADS, "dtype": DTYPE,
+        "chunk_rows": CHUNK_ROWS,
+        "hardware": hardware_tag(),
+        "layout_build_s": t_layout,
+        "layout": {"n_chunks": t.n_chunks,
+                   "tiles_per_chunk": t.tiles_per_chunk,
+                   "jobs_pad": int(t.w_blocks.shape[1]),
+                   "w_gib": w_gib, "max_jobs": t.max_jobs},
+        "attention_fwd_ms": fwd_s * 1e3,
+        "attention_fwd_walls_s": walls,
+        "edges_per_sec": E / fwd_s,
+        "zero_score_rel_err_vs_spmm": err,
+        "full_eval_2layer_s": eval_s,
+        "note": ("full-graph GAT attention at real Reddit's edge count "
+                 "on ONE chip via the chunked dedup layout; flat "
+                 "gathered-unique rows would exceed HBM "
+                 "(VERDICT r4 missing #5)"),
+    }
+    os.makedirs("results", exist_ok=True)
+    path = f"results/r5_gat_chunked_{TAG}.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, default=float)
+    print(json.dumps({k: v for k, v in out.items()
+                      if not isinstance(v, (dict, list))}), flush=True)
+    print("wrote", path, flush=True)
+
+
+if __name__ == "__main__":
+    main()

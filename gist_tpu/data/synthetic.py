@@ -46,6 +46,9 @@ SYNTH_SPECS = {
     "synth-pubmed":   (19717, 3, 500, 3, 60, 500, 1000),
     "synth-reddit-small": (23000, 50, 602, 41, 15000, 4000, 4000),
     "synth-reddit":   (232965, 100, 602, 41, 153431, 23831, 55703),
+    # real Reddit's edge count (114.6M directed; edges here are
+    # symmetrized, E = 2*n*deg + n) — the >HBM full-graph GAT target
+    "synth-reddit-full": (232965, 246, 602, 41, 153431, 23831, 55703),
     "synth-amazon2m-small": (120000, 25, 100, 47, 100000, 10000, 10000),
     "synth-amazon2m": (2449029, 25, 100, 47, 1709124, 739905, 0),
     "synth-tiny":     (256, 4, 32, 4, 64, 64, 64),

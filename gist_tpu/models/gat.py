@@ -95,12 +95,33 @@ def _multi_head_layer(graph: Graph, h: jnp.ndarray, layer: dict,
     heads, d_in, d_out = w.shape
     z = jnp.einsum("nf,hfo->nho", h, w)              # (N, H, O)
     if backend == "pallas" and (graph.tiled is not None
-                                or graph.dedup is not None):
+                                or graph.dedup is not None
+                                or graph.dedup_c is not None):
         from gist_tpu.ops.pallas_gat import (gat_attention_dedup,
+                                             gat_attention_dedup_chunked,
                                              gat_attention_dedup_mh,
                                              gat_attention_pallas)
         # dedup layout preferred: messages matmul over unique sender
         # rows (~0.35x the per-edge traffic) and no per-edge score array
+        if graph.dedup_c is not None:
+            # chunked layout: >HBM-scale graphs (full-Reddit 115M-edge
+            # full-graph eval); all heads per kernel call, memory
+            # bounded to one chunk's gathered rows
+            dp = -(-d_out // 128) * 128
+            if heads * dp <= 1024:
+                a = jnp.einsum("nho,ho->nh", z, attn[:, :d_out])
+                b = jnp.einsum("nho,ho->nh", z, attn[:, d_out:])
+                out = gat_attention_dedup_chunked(graph, z, a, b,
+                                                  negative_slope)
+                return jnp.mean(out, axis=1)
+            outs = []
+            for hd in range(heads):     # per-head: VMEM-bounded
+                zh = z[:, hd:hd + 1, :]
+                a = jnp.einsum("nho,ho->nh", zh, attn[hd:hd + 1, :d_out])
+                b = jnp.einsum("nho,ho->nh", zh, attn[hd:hd + 1, d_out:])
+                outs.append(gat_attention_dedup_chunked(
+                    graph, zh, a, b, negative_slope)[:, 0])
+            return jnp.mean(jnp.stack(outs), axis=0)
         if graph.dedup is not None:
             dp = -(-d_out // 128) * 128
             if heads * dp <= 1024:

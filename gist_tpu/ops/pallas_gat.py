@@ -879,6 +879,123 @@ gat_attention_dedup_mh.defvjp(_gat_dedup_mh_fwd, _gat_dedup_mh_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Chunked dedup attention (round 5): graphs whose gathered unique rows
+# exceed HBM in one shot — the full-Reddit-scale (115M-edge) full-graph
+# GAT eval (VERDICT r4 missing #5).  Reuses the SpMM ChunkedDedupTiles
+# layout verbatim (graph.dedup_c): chunks partition DESTINATION tiles,
+# so every destination's entire incoming-edge softmax lives inside one
+# chunk — no cross-chunk partial-softmax merge is needed (unlike the
+# sharded interior/boundary split in parallel/layers.py).
+# ---------------------------------------------------------------------------
+
+
+def _mh_tiles_raw_chunked(t, n, z, src_score, dst_score, negative_slope):
+    """Multi-head batched forward over a ChunkedDedupTiles layout:
+    z (n, H, O), src/dst (n, H) -> (out (n-trimmed padded rows, H, DP),
+    m, l) like :func:`_mh_tiles_raw`.  ``lax.scan`` serializes the
+    chunks so only ONE chunk's gathered unique rows are live — an
+    unrolled loop lets XLA schedule chunks concurrently and blows HBM
+    at 100M-edge scale (see pallas_spmm._run_dedup_chunked)."""
+    TN, CU = t.tile_rows, t.cu
+    tpc = t.tiles_per_chunk
+    pad_rows = t.n_chunks * tpc * TN
+    H, O = z.shape[1], z.shape[2]
+    DP = -(-O // 128) * 128
+    if DP != O:
+        z_flat = jnp.pad(z, ((0, 0), (0, 0), (0, DP - O)))
+    else:
+        z_flat = z
+    z_flat = z_flat.reshape(z.shape[0], H * DP)
+    if t.perm is not None:     # chunked layouts always permute_u
+        z_p = jnp.take(z_flat, t.perm, axis=0)
+        src_p = jnp.take(src_score, t.perm, axis=0)
+    else:
+        z_p, src_p = z_flat, src_score
+    if t.pos is not None:
+        dst_rows = jnp.zeros((pad_rows, H), jnp.float32) \
+            .at[t.pos].set(dst_score.astype(jnp.float32))
+    else:
+        dst_rows = jnp.pad(dst_score.astype(jnp.float32),
+                           ((0, pad_rows - n), (0, 0)))
+    dst_tiles = dst_rows.reshape(t.n_chunks, tpc, TN, H) \
+        .transpose(0, 1, 3, 2)
+    if TN < 128:
+        dst_tiles = jnp.pad(dst_tiles,
+                            ((0, 0), (0, 0), (0, 0), (0, 128 - TN)))
+    dst_tiles = dst_tiles.reshape(t.n_chunks, tpc, 1, H * 128)
+    jobs_pad = t.w_blocks.shape[1]
+    max_jobs = min(t.max_jobs, jobs_pad)
+
+    def body(_, chunk):
+        offs, w, u_idx, dtiles = chunk
+        u_rows = jnp.take(z_p, u_idx, axis=0)        # (jobs_pad*CU, H*DP)
+        u_scores = (jnp.take(src_p, u_idx, axis=0)
+                    .reshape(jobs_pad, CU, H).transpose(0, 2, 1)
+                    .reshape(jobs_pad, 1, H * CU).astype(jnp.float32))
+        out_c, m_c, l_c = _gat_dedup_call(
+            offs, dtiles, w, u_scores, u_rows, tile_rows=TN, cu=CU,
+            max_jobs=max_jobs, negative_slope=negative_slope, heads=H)
+        return None, (out_c, m_c, l_c)
+
+    _, (outs, ms, ls) = jax.lax.scan(
+        body, None, (t.job_offsets, t.w_blocks, t.u_senders, dst_tiles))
+    out = outs.reshape(pad_rows, H, DP)[:, :, :O]
+    m = ms.reshape(pad_rows, H * 128)
+    l = ls.reshape(pad_rows, H * 128)
+    if t.pos is not None:
+        out = jnp.take(out, t.pos, axis=0)
+    else:
+        out = out[:n]
+    return out, m, l
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gat_attention_dedup_chunked(graph: Graph, z, src_score, dst_score,
+                                negative_slope: float = 0.01):
+    """All-heads fused dedup attention over the CHUNKED layout
+    (``graph.dedup_c``): z (N, H, O), scores (N, H) -> (N, H, O).
+    Semantics = :func:`gat_attention_dedup_mh`; memory bounded to one
+    chunk's gathered rows, so full-graph attention runs at 100M+ edge
+    scale on one chip.  Backward falls back to the exact XLA composite
+    recompute per head (full-graph GAT at this scale is an EVAL path —
+    the reference trains GAT only via bounded cluster batches,
+    script/reddit/run_gat_distrib_sweep.py:8-15)."""
+    out, _, _ = _mh_tiles_raw_chunked(graph.dedup_c, graph.n_nodes, z,
+                                      src_score, dst_score,
+                                      negative_slope)
+    return out
+
+
+def _gat_dedup_chunked_fwd(graph, z, src_score, dst_score,
+                           negative_slope):
+    out, _, _ = _mh_tiles_raw_chunked(graph.dedup_c, graph.n_nodes, z,
+                                      src_score, dst_score,
+                                      negative_slope)
+    return out, (graph, z, src_score, dst_score)
+
+
+def _gat_dedup_chunked_bwd(negative_slope, res, g):
+    graph, z, src_score, dst_score = res
+    H = z.shape[1]
+    dzs, dsrcs, ddsts = [], [], []
+    for h in range(H):
+        _, vjp = jax.vjp(
+            lambda zz, a, b: _xla_reference(graph, zz, a, b,
+                                            negative_slope),
+            z[:, h], src_score[:, h], dst_score[:, h])
+        dz, da, db = vjp(g[:, h])
+        dzs.append(dz)
+        dsrcs.append(da)
+        ddsts.append(db)
+    return (None, jnp.stack(dzs, axis=1), jnp.stack(dsrcs, axis=1),
+            jnp.stack(ddsts, axis=1))
+
+
+gat_attention_dedup_chunked.defvjp(_gat_dedup_chunked_fwd,
+                                   _gat_dedup_chunked_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Fused dedup backward (round 4): two kernels, both structurally the
 # forward dedup kernel plus one NT SDDMM matmul.  All per-edge
 # quantities (alpha, score gradient ds) are recomputed BLOCKWISE from

@@ -338,3 +338,76 @@ def test_gat_model_multihead_dedup_matches_segment(rng):
     got = np.asarray(run_interpret(
         lambda: gat_model.apply(params, g, x, cfg, backend="pallas")))
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+def test_gat_dedup_chunked_matches_xla(rng):
+    """Chunked dedup attention (>HBM-scale layout, graph.dedup_c) ==
+    the XLA composite, multi-head, on a small graph forced into many
+    chunks (tiny chunk_rows)."""
+    from gist_tpu.ops.pallas_gat import gat_attention_dedup_chunked
+    n, e, d, heads = 300, 1500, 8, 2
+    s, r = make_random_graph(rng, n, e)
+    g = G.graph_from_edges(s, r, n)
+    g = g.with_tiles(tile_rows=128, mode="dedup-chunked",
+                     chunk_rows=2048)
+    assert g.dedup_c is not None and g.dedup_c.n_chunks > 1, \
+        (g.dedup_c and g.dedup_c.n_chunks)
+    z = jnp.asarray(rng.standard_normal((n, heads, d)).astype(np.float32))
+    a = jnp.asarray(rng.standard_normal((n, heads)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((n, heads)).astype(np.float32))
+    want = np.stack([np.asarray(_xla_reference(
+        g, z[:, h], a[:, h], b[:, h], 0.01)) for h in range(heads)],
+        axis=1)
+    got = np.asarray(run_interpret(
+        lambda: gat_attention_dedup_chunked(g, z, a, b, 0.01)))
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+def test_gat_dedup_chunked_grad_matches_xla(rng):
+    """The chunked layout's backward (exact XLA recompute per head)."""
+    from gist_tpu.ops.pallas_gat import gat_attention_dedup_chunked
+    n, e, d, heads = 200, 900, 8, 2
+    s, r = make_random_graph(rng, n, e)
+    g = G.graph_from_edges(s, r, n)
+    g = g.with_tiles(tile_rows=128, mode="dedup-chunked",
+                     chunk_rows=2048)
+    assert g.dedup_c is not None
+    z = jnp.asarray(rng.standard_normal((n, heads, d)).astype(np.float32))
+    a = jnp.asarray(rng.standard_normal((n, heads)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((n, heads)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((n, heads, d)).astype(np.float32))
+
+    def loss_chunk(z, a, b):
+        return jnp.sum(gat_attention_dedup_chunked(g, z, a, b, 0.01) * w)
+
+    def loss_xla(z, a, b):
+        per = [jnp.sum(_xla_reference(g, z[:, h], a[:, h], b[:, h], 0.01)
+                       * w[:, h]) for h in range(heads)]
+        return sum(per)
+
+    want = jax.grad(loss_xla, argnums=(0, 1, 2))(z, a, b)
+    got = run_interpret(
+        lambda: jax.grad(loss_chunk, argnums=(0, 1, 2))(z, a, b))
+    for gg, ww in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(ww),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_gat_model_chunked_dedup_matches_segment(rng):
+    """gat.apply routes through the chunked kernel when only dedup_c
+    is present (the >HBM full-graph eval path)."""
+    from gist_tpu.models import gat as gat_model
+    n = 300
+    s, r = make_random_graph(rng, n, 1500)
+    g = G.graph_from_edges(s, r, n)
+    gc = g.with_tiles(tile_rows=128, mode="dedup-chunked",
+                      chunk_rows=2048)
+    assert gc.dedup_c is not None and gc.dedup is None
+    cfg = gat_model.GATConfig(in_feats=8, n_hidden=12, n_classes=3,
+                              n_layers=2, n_heads=3)
+    params = gat_model.init(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    want = np.asarray(gat_model.apply(params, g, x, cfg))
+    got = np.asarray(run_interpret(
+        lambda: gat_model.apply(params, gc, x, cfg, backend="pallas")))
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
