@@ -119,6 +119,37 @@ def test_ultrawide_checkpoint_resume(tmp_path):
     assert np.isfinite(r2["best_val"])
 
 
+def test_ultrawide_sequential_resume_matches_uninterrupted(tmp_path):
+    """The chip flagship runs sequentially under a timeout and relies
+    on checkpoint+replay: a run interrupted halfway and resumed must
+    reproduce the uninterrupted run's val curve EXACTLY (params from
+    the checkpoint, partition/cluster randomness replayed, drop_key
+    restored)."""
+    from gist_tpu.train.ist_ultrawide import train_ist_ultrawide
+
+    cfg_kw = dict(psize=4, batch_size=2, sequential=True, verbose=False)
+    ds = synthetic_dataset("synth-tiny")
+    cfg = sage.SAGEConfig(ds.in_feats, 16, ds.n_classes, n_layers=1,
+                          dropout=0.3)
+    full_tc = TrainConfig(lr=3e-2, weight_decay=0.0, n_epochs=8,
+                          num_subnet=2, iter_per_site=2)
+    r_full = train_ist_ultrawide(synthetic_dataset("synth-tiny"), cfg,
+                                 full_tc, **cfg_kw)
+    # interrupted: half the epoch budget, checkpointed, then resume
+    # with the full budget from the same dir
+    half_tc = TrainConfig(lr=3e-2, weight_decay=0.0, n_epochs=4,
+                          num_subnet=2, iter_per_site=2)
+    ck = str(tmp_path / "uw_seq")
+    train_ist_ultrawide(synthetic_dataset("synth-tiny"), cfg, half_tc,
+                        checkpoint_dir=ck, **cfg_kw)
+    r_res = train_ist_ultrawide(synthetic_dataset("synth-tiny"), cfg,
+                                full_tc, checkpoint_dir=ck, **cfg_kw)
+    n_tail = len(r_res["val_accs"])
+    assert 0 < n_tail < len(r_full["val_accs"])
+    np.testing.assert_allclose(r_res["val_accs"],
+                               r_full["val_accs"][-n_tail:])
+
+
 def test_apply_chunked_host_matches_apply():
     """The memory-bounded host eval forward (edge-chunked aggregation +
     node-chunked linears, fp16 storage) must match the jax apply
