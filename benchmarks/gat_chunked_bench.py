@@ -55,15 +55,33 @@ def main():
 
     import gist_tpu.graph as G
     t0 = time.time()
-    g = G.graph_from_edges(ds.senders, ds.receivers, ds.n_nodes)
-    g = g.with_tiles(mode="dedup-chunked", chunk_rows=CHUNK_ROWS)
+    # forward-only layout (transpose=False): at 115M edges EACH chunked
+    # W is GiBs of HBM — an eval consumer must not pay for both.  Base
+    # edge arrays stay HOST numpy; the device Graph carries only what
+    # the chunked paths read (dedup_c, in_degrees, n_nodes), with dummy
+    # edge arrays, and rides every jit as an ARGUMENT (a closed-over
+    # layout would bake GiB HLO literals -> HTTP 413 on remote compile)
+    g_host = G.graph_from_edges(ds.senders, ds.receivers, ds.n_nodes,
+                                numpy=True)
+    g_tiled = g_host.with_tiles(mode="dedup-chunked",
+                                chunk_rows=CHUNK_ROWS, transpose=False)
     t_layout = time.time() - t0
-    t = g.dedup_c
+    t = g_tiled.dedup_c
     assert t is not None, "chunked layout must build at this scale"
     w_gib = t.w_blocks.size / 2 ** 30
     print(f"layout {t_layout:.0f}s: chunks={t.n_chunks} "
           f"tiles/chunk={t.tiles_per_chunk} jobs_pad={t.w_blocks.shape[1]} "
           f"W={w_gib:.2f} GiB max_jobs={t.max_jobs}", flush=True)
+    import jax.numpy as _jnp
+    dummy_e = _jnp.zeros(1, _jnp.int32)
+    dummy_p = _jnp.zeros(ds.n_nodes + 1, _jnp.int32)
+    g = G.Graph(
+        senders=dummy_e, receivers=dummy_e, indptr=dummy_p,
+        in_degrees=_jnp.asarray(np.asarray(g_host.in_degrees)),
+        out_degrees=_jnp.asarray(np.asarray(g_host.out_degrees)),
+        t_senders=dummy_e, t_receivers=dummy_e, t_indptr=dummy_p,
+        n_nodes=ds.n_nodes, n_edges=E, dedup_c=t)
+    del g_host, g_tiled
 
     dt = jnp.bfloat16 if DTYPE == "bfloat16" else jnp.float32
     rng = np.random.default_rng(0)
@@ -74,14 +92,14 @@ def main():
     b = jnp.asarray(rng.standard_normal(
         (ds.n_nodes, HEADS)).astype(np.float32))
 
-    fwd = jax.jit(lambda z, a, b: gat_attention_dedup_chunked(
+    fwd = jax.jit(lambda g, z, a, b: gat_attention_dedup_chunked(
         g, z, a, b, 0.01))
-    out = fwd(z, a, b)
+    out = fwd(g, z, a, b)
     jax.block_until_ready(out)                   # compile + warm
     walls = []
     for _ in range(ITERS):
         t0 = time.time()
-        jax.block_until_ready(fwd(z, a, b))
+        jax.block_until_ready(fwd(g, z, a, b))
         walls.append(time.time() - t0)
     fwd_s = min(walls)
     print(f"attention fwd ({HEADS} heads, D={HID}, {DTYPE}): "
@@ -93,11 +111,10 @@ def main():
     z0 = z[:, 0].astype(jnp.float32)
     zeros = jnp.zeros(ds.n_nodes, jnp.float32)
     att = np.asarray(jax.jit(
-        lambda z, a, b: gat_attention_dedup_chunked(
+        lambda g, z, a, b: gat_attention_dedup_chunked(
             g, z[:, None], a[:, None], b[:, None], 0.01)[:, 0]
-    )(z0, zeros, zeros))
-    agg = np.asarray(jax.jit(
-        lambda x: spmm_pallas_csr(g, x))(z0))
+    )(g, z0, zeros, zeros))
+    agg = np.asarray(jax.jit(spmm_pallas_csr)(g, z0))
     deg = np.asarray(g.in_degrees)[:, None]
     want = np.where(deg > 0, agg / np.maximum(deg, 1.0), 0.0)
     err = float(np.max(np.abs(att - want))
@@ -111,12 +128,12 @@ def main():
                         n_heads=HEADS)
     params = gat.init(jax.random.PRNGKey(0), cfg)
     x = jnp.asarray(ds.features)
-    apply_j = jax.jit(lambda p, xv: gat.apply(p, g, xv, cfg,
-                                              backend="pallas"))
-    logits = apply_j(params, x)
+    apply_j = jax.jit(lambda p, g, xv: gat.apply(p, g, xv, cfg,
+                                                 backend="pallas"))
+    logits = apply_j(params, g, x)
     jax.block_until_ready(logits)                # compile + warm
     t0 = time.time()
-    logits = apply_j(params, x)
+    logits = apply_j(params, g, x)
     jax.block_until_ready(logits)
     eval_s = time.time() - t0
     f1 = micro_f1(np.asarray(logits), ds.labels, ds.val_mask)

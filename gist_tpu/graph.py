@@ -665,7 +665,8 @@ class Graph:
         return self.senders.shape[0]
 
     def with_tiles(self, tile_rows: int = 128, mode: str = "dedup",
-                   chunk_rows: int = 4 * 2 ** 20) -> "Graph":
+                   chunk_rows: int = 4 * 2 ** 20,
+                   transpose: bool = True) -> "Graph":
         """Return a copy carrying the Pallas tile layouts (host-side
         rebuild from the existing edge arrays); no-op if present.
 
@@ -674,6 +675,9 @@ class Graph:
         else the v1 gather layout; ``mode="dedup-chunked"`` forces
         chunked; ``mode="gather"`` forces v1.  ``chunk_rows`` bounds
         one chunk's gathered unique rows (lower it for wide features).
+        ``transpose=False`` skips the transpose layout (backward path)
+        — at 100M-edge scale each chunked W is GiBs of HBM, and a
+        forward-only consumer (full-graph eval) must not pay for both.
         """
         s = np.asarray(self.senders[:self.n_edges]).astype(np.int64)
         r = np.asarray(self.receivers[:self.n_edges]).astype(np.int64)
@@ -688,6 +692,8 @@ class Graph:
             d = _build_dedup_chunked(s, r, self.n_nodes,
                                      tile_rows=tile_rows,
                                      chunk_rows=chunk_rows)
+            if d is not None and not transpose:
+                return self.replace(dedup_c=d.to_device())
             d_t = None if d is None else _build_dedup_chunked(
                 t_s, t_r, self.n_nodes, tile_rows=tile_rows,
                 chunk_rows=chunk_rows)

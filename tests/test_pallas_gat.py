@@ -411,3 +411,13 @@ def test_gat_model_chunked_dedup_matches_segment(rng):
     got = np.asarray(run_interpret(
         lambda: gat_model.apply(params, gc, x, cfg, backend="pallas")))
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+def test_with_tiles_forward_only_chunked(rng):
+    """transpose=False skips the transpose chunked layout — the
+    forward-only eval consumer must not pay double W HBM."""
+    s, r = make_random_graph(rng, 100, 400)
+    g = G.graph_from_edges(s, r, 100, numpy=True)
+    gc = g.with_tiles(mode="dedup-chunked", chunk_rows=1024,
+                      transpose=False)
+    assert gc.dedup_c is not None and gc.dedup_c_t is None
