@@ -30,7 +30,8 @@ def fig_uw_family_chip():
     narrow full-width control, all lr 5e-3, all TPU v5 lite x1 via the
     sequential single-device burst (VERDICT r4 next-round #1+#2)."""
     runs = []
-    for h, k in ((512, 1), (2048, 2), (2048, 4), (2048, 8)):
+    for h, k in ((512, 1), (512, 8), (2048, 1), (2048, 2), (2048, 4),
+                 (2048, 8)):
         d = _load(f"r5chip_amazon_uw_fullscale_h{h}_k{k}.json")
         if d is not None:
             runs.append((h, k, d))
